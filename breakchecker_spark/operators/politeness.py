@@ -1,0 +1,81 @@
+"""Per-host politeness budget, robots gating, and skew-safe host capping.
+
+North-rule additions — the reference has only a global concurrency cap
+(/root/reference/break_checker.py:1329-1335) and no robots handling;
+the semantics preserved from the reference are *which* URLs are
+eventually seen, not the scheduling. With an unlimited budget these
+operators are identity transforms, which is how reference-parity tests
+run.
+
+Skew: a mega-host (30%+ of the frontier) would funnel its entire
+candidate set through one window partition. The cap therefore runs in
+two phases:
+
+1. salted pre-cap — window over ``(host, salt)`` where
+   ``salt = pmod(xxhash64(url), n_salts)``; keeps ≤ budget rows per
+   salt bucket, so no single task ever sees more than one bucket;
+2. exact cap — window over ``host`` on the pre-capped set, which is now
+   ≤ n_salts × budget rows per host.
+
+Deferred rows (rank > budget) stay in the frontier for the next round
+(carry-over), preserving BFS completeness under any budget.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Drop candidates whose path starts with a disallowed prefix.
+
+    ``candidates`` needs ``url`` and ``host`` columns; ``robots`` is
+    (host, disallow_prefix[, crawl_delay]). Prefix match runs on the
+    URL's path component (FIXTURES.md §3).
+    """
+    if robots is None:
+        return candidates
+    from ..functions import udfs
+
+    with_path = candidates.withColumn("_path", udfs.url_path(F.col("url")))
+    blocked = (
+        with_path.join(F.broadcast(robots.select("host", "disallow_prefix")), "host")
+        .filter(F.col("_path").startswith(F.col("disallow_prefix")))
+        .select("url")
+        .distinct()
+    )
+    return with_path.join(blocked, "url", "left_anti").drop("_path")
+
+
+def host_budget_split(
+    frontier: DataFrame,
+    budget: int | None,
+    n_salts: int = 16,
+) -> Tuple[DataFrame, DataFrame]:
+    """(eligible, deferred): at most ``budget`` URLs per host this round.
+
+    Order within a host is (depth, url) — the deterministic analog of
+    the reference's sorted enqueue order (break_checker.py:1403, 1416).
+    ``budget=None`` means unlimited (reference parity mode).
+    """
+    if budget is None:
+        return frontier, frontier.limit(0)
+
+    salted = frontier.withColumn(
+        "_salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)).cast("int")
+    )
+    pre = Window.partitionBy("host", "_salt").orderBy("depth", "url")
+    salted = salted.withColumn("_pre_rank", F.row_number().over(pre))
+    survivors = salted.filter(F.col("_pre_rank") <= budget)
+    spilled = salted.filter(F.col("_pre_rank") > budget)
+
+    exact = Window.partitionBy("host").orderBy("depth", "url")
+    ranked = survivors.withColumn("_rank", F.row_number().over(exact))
+    eligible = ranked.filter(F.col("_rank") <= budget).drop("_salt", "_pre_rank", "_rank")
+    deferred_from_exact = ranked.filter(F.col("_rank") > budget).drop(
+        "_salt", "_pre_rank", "_rank"
+    )
+    deferred = deferred_from_exact.unionByName(spilled.drop("_salt", "_pre_rank"))
+    return eligible, deferred

@@ -1,0 +1,129 @@
+"""URL-seen membership: partitioned bloom prefilter + exact anti-join.
+
+Distributed equivalent of the reference's three in-memory sets
+(``visited`` / ``_queued`` / ``_seen_keys``,
+/root/reference/break_checker.py:1222-1226, checks at 1338-1346 and
+1404-1420). Membership is keyed by ``xxhash64(struct_key_str(url))`` —
+the structural key that collapses near-duplicate URLs
+(break_checker.py:956-972).
+
+Scale design (10^10 seen URLs):
+
+* the exact ``url_seen`` table is bucketed by ``key_hash`` so the
+  anti-join is storage-partitioned (no re-shuffle of the big side);
+* the bloom filter is itself a table of (part_id, bitset) rows,
+  co-grouped with candidates via ``cogroup().applyInPandas`` — no
+  driver state, no whole-filter broadcast;
+* candidates that miss the bloom are **definitely new** and skip the
+  anti-join entirely; bloom hits (true-seen + ~1% FP) go through the
+  exact anti-join, so results are exactly equal to exact-only
+  (verified by tests/test_seen_bloom.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..functions import udfs
+from . import bloom
+
+BLOOM_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType(), False),
+        T.StructField("nbits", T.LongType(), False),
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("bits", T.BinaryType(), False),
+    ]
+)
+
+
+def with_struct_key(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add ``struct_key`` (string) and ``key_hash`` (xxhash64) columns."""
+    return df.withColumn("struct_key", udfs.struct_key_str(F.col(url_col))).withColumn(
+        "key_hash", F.xxhash64("struct_key")
+    )
+
+
+def build_bloom(
+    seen: DataFrame,
+    n_parts: int = 32,
+    expected_per_part: int = 100_000,
+    fp_rate: float = 0.01,
+) -> DataFrame:
+    """Build the partitioned bloom table from the exact seen table.
+
+    One applyInPandas group per partition; each group emits one bitset
+    row. Rebuilt (or incrementally merged) once per crawl round.
+    """
+    nbits, k = bloom.optimal_params(expected_per_part, fp_rate)
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = bloom.BloomPart(nbits, k)
+        part.add(pdf["key_hash"].to_numpy(dtype=np.int64))
+        pid = int(pdf["part_id"].iloc[0])
+        return pd.DataFrame(
+            {"part_id": [pid], "nbits": [nbits], "k": [k], "bits": [part.to_bytes()]}
+        )
+
+    keyed = seen.select(
+        F.pmod(F.col("key_hash"), F.lit(n_parts)).cast("int").alias("part_id"),
+        "key_hash",
+    )
+    return keyed.groupBy("part_id").applyInPandas(_build, schema=BLOOM_SCHEMA)
+
+
+def _probe_schema(candidates: DataFrame) -> T.StructType:
+    return T.StructType(
+        candidates.schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+
+
+def filter_new(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom_table: DataFrame | None = None,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Candidates whose struct key is not in the seen set.
+
+    ``candidates`` must already carry ``key_hash`` (with_struct_key).
+    With a bloom table, definitely-new rows bypass the anti-join;
+    results are identical either way.
+    """
+    if bloom_table is None:
+        return candidates.join(seen.select("key_hash"), "key_hash", "left_anti")
+
+    cand_cols = candidates.columns
+    cand = candidates.withColumn(
+        "part_id", F.pmod(F.col("key_hash"), F.lit(n_parts)).cast("int")
+    )
+    out_schema = _probe_schema(cand)
+
+    def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return left.assign(maybe_seen=pd.Series(dtype=bool))
+        if right.empty:
+            return left.assign(maybe_seen=False)
+        part = bloom.BloomPart.from_bytes(
+            int(right["nbits"].iloc[0]),
+            int(right["k"].iloc[0]),
+            right["bits"].iloc[0],
+        )
+        mask = part.might_contain(left["key_hash"].to_numpy(dtype=np.int64))
+        return left.assign(maybe_seen=mask)
+
+    probed = (
+        cand.groupBy("part_id")
+        .cogroup(bloom_table.groupBy("part_id"))
+        .applyInPandas(_probe, schema=out_schema)
+    )
+    definitely_new = probed.filter(~F.col("maybe_seen")).select(*cand_cols)
+    survivors = (
+        probed.filter(F.col("maybe_seen"))
+        .select(*cand_cols)
+        .join(seen.select("key_hash"), "key_hash", "left_anti")
+    )
+    return definitely_new.unionByName(survivors)

@@ -1,0 +1,271 @@
+"""The crawl engine: level-synchronous BFS frontier loop over a pages table.
+
+Reimplements the reference's async BFS crawler
+(/root/reference/break_checker.py:1319-1421) as iterative DataFrame
+rounds. Each round:
+
+1. **dequeue re-check** — frontier anti-joins the URL-seen set on the
+   structural key (bloom-prefiltered), matching the reference's
+   dequeue-time guard (bc:1338-1346);
+2. **robots gate + politeness budget** — north-rule additions; eligible
+   rows are capped per host (skew-safe two-phase window), deferred rows
+   carry over at the same depth;
+3. **visit** — eligible rows join the seen set (the reference adds to
+   ``visited`` *before* fetching, bc:1344-1346 — misses still count);
+4. **fetch = join** — the frontier joins the pages table on URL
+   (replacing live HTTP, bc:742-839);
+5. **extract + expand** — vectorized extraction produces contacts and
+   canonical link candidates at depth+1 (enqueue-time checks: depth
+   gate, within-round struct-key dedup pinned to min (depth, url),
+   anti-join vs seen and vs queued — bc:1397-1421);
+6. **commit** — frontier / url_seen / contacts / metrics checkpoint
+   atomically; a killed run resumes from the last commit. Reading state
+   back from the checkpoint also truncates plan lineage, keeping
+   per-round shuffle count flat as depth grows.
+
+Determinism pins (SURVEY.md §7): all seeds start at depth 0 together;
+within a round, candidate dedup order is (depth, url); the reference's
+completion-order races are replaced by these total orders, so the
+URL-seen *set* per depth matches the reference exactly.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import contacts as contacts_fn
+from ..functions import udfs
+from ..operators import extract, politeness, seen
+from .checkpoint import CheckpointStore
+
+
+@dataclass
+class CrawlConfig:
+    scope_host: str
+    max_depth: int = 3
+    host_budget: Optional[int] = None  # None = unlimited (reference parity)
+    use_bloom: bool = True
+    bloom_parts: int = 32
+    bloom_expected_per_part: int = 100_000
+    checkpoint_dir: Optional[str] = None
+    run_id: str = "run0"
+    max_rounds: int = 1000
+    default_region: Optional[str] = None  # derived from scope TLD when None
+    org_domain: Optional[str] = None  # derived from scope host when None
+
+    def __post_init__(self) -> None:
+        if self.default_region is None:
+            self.default_region = contacts_fn.region_for_domain(self.scope_host)
+        if self.org_domain is None:
+            self.org_domain = contacts_fn.registered_domain(self.scope_host)
+
+
+@dataclass
+class CrawlResult:
+    url_seen: DataFrame
+    contacts: DataFrame  # deduped (kind, identifier, source_url, depth)
+    metrics: DataFrame  # (run_id, round, metric, value)
+    rounds: int
+    summary: dict = field(default_factory=dict)
+
+
+def _fetch_key(url_col):
+    """Join key against the pages table: bare-host URLs get a root slash.
+
+    The reference's live fetch treats ``https://h`` and ``https://h/``
+    identically (HTTP GET of "/"); the pages table stores the canonical
+    slashed form, so only the frontier side needs normalizing.
+    """
+    return F.when(url_col.rlike("^https?://[^/]+$"), F.concat(url_col, F.lit("/"))).otherwise(
+        url_col
+    )
+
+
+def _dedup_frontier(frontier: DataFrame) -> DataFrame:
+    """One row per URL (min depth), then one URL per struct key.
+
+    URL-level dedup mirrors the reference's ``_queued`` guard
+    (bc:1417-1420); struct-key dedup mirrors the dequeue guard with the
+    pinned (depth, url) order.
+    """
+    by_url = frontier.groupBy("url").agg(
+        F.min("depth").alias("depth"),
+        F.first("host").alias("host"),
+        F.first("struct_key").alias("struct_key"),
+        F.first("key_hash").alias("key_hash"),
+    )
+    best = by_url.groupBy("struct_key").agg(
+        F.min_by(
+            F.struct("url", "depth", "host", "key_hash"), F.struct("depth", "url")
+        ).alias("b")
+    )
+    return best.select(
+        F.col("b.url").alias("url"),
+        F.col("b.depth").alias("depth"),
+        F.col("b.host").alias("host"),
+        "struct_key",
+        F.col("b.key_hash").alias("key_hash"),
+    )
+
+
+def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
+    """(host, scheme) → depth-0 frontier rows ``scheme://host``.
+
+    Seed URLs are intentionally *not* canonicalized — the reference
+    enqueues them raw (bc:1326, 1760).
+    """
+    f = seeds.select(
+        F.concat(F.col("scheme"), F.lit("://"), F.lower(F.col("host"))).alias("url"),
+        F.lit(0).alias("depth"),
+        F.lower(F.col("host")).alias("host"),
+    )
+    return seen.with_struct_key(f)
+
+
+def run_crawl(
+    spark: SparkSession,
+    seeds: DataFrame,
+    pages: DataFrame,
+    config: CrawlConfig,
+    robots: DataFrame | None = None,
+    resume: bool = False,
+) -> CrawlResult:
+    """Run (or resume) the BFS crawl; returns final state DataFrames."""
+    store = CheckpointStore(config.checkpoint_dir) if config.checkpoint_dir else None
+
+    empty_seen = spark.createDataFrame(
+        [], "key_hash long, struct_key string, url string, depth int"
+    )
+    empty_contacts = spark.createDataFrame(
+        [], "kind string, identifier string, source_url string, depth int"
+    )
+    empty_metrics = spark.createDataFrame(
+        [], "run_id string, round int, metric string, value long"
+    )
+
+    start_round = 0
+    if resume and store is not None and store.manifest() is not None:
+        frontier = store.read(spark, "frontier")
+        url_seen = store.read(spark, "url_seen")
+        all_contacts = store.read(spark, "contacts")
+        metrics = store.read(spark, "metrics")
+        start_round = store.last_round() + 1
+    else:
+        frontier = _dedup_frontier(seeds_to_frontier(seeds))
+        url_seen = empty_seen
+        all_contacts = empty_contacts
+        metrics = empty_metrics
+
+    pages_slim = pages.select("url", "html", "text")
+    rounds_run = start_round
+
+    for round_no in range(start_round, config.max_rounds):
+        if frontier.isEmpty():
+            break
+        rounds_run = round_no + 1
+        t0 = time.time()
+
+        # 1. dequeue-time seen re-check (bloom prefilter + exact anti-join)
+        bloom_table = None
+        if config.use_bloom and not url_seen.isEmpty():
+            bloom_table = seen.build_bloom(
+                url_seen, config.bloom_parts, config.bloom_expected_per_part
+            )
+        live = seen.filter_new(frontier, url_seen, bloom_table, config.bloom_parts)
+        live = _dedup_frontier(live)
+
+        # 2. robots gate (dropped, not deferred) + per-host budget
+        live = politeness.apply_robots(live, robots)
+        eligible, deferred = politeness.host_budget_split(live, config.host_budget)
+        eligible = eligible.cache()
+
+        # 3. mark visited BEFORE the fetch join (bc:1344-1346)
+        new_seen = eligible.select("key_hash", "struct_key", "url", "depth")
+        url_seen_next = url_seen.unionByName(new_seen)
+
+        # 4. fetch = left join against the pages table
+        fetched = eligible.withColumn("_fk", _fetch_key(F.col("url"))).join(
+            pages_slim.withColumnRenamed("url", "_fk"), "_fk", "left"
+        ).select("url", "depth", "html", "text")
+
+        # 5. extract + expand
+        link_cands, round_contacts, drop_metrics = extract.process_pages(
+            fetched, config.scope_host, config.default_region, config.org_domain
+        )
+        candidates = link_cands.filter(F.col("depth") <= config.max_depth)
+        candidates = seen.with_struct_key(
+            candidates.withColumn("host", udfs.url_host(F.col("url")))
+        )
+        # enqueue-time checks: not seen, not already queued (deferred)
+        candidates = seen.filter_new(candidates, url_seen_next, None)
+        candidates = candidates.join(
+            deferred.select("url"), "url", "left_anti"
+        )
+        frontier_next = _dedup_frontier(
+            deferred.unionByName(candidates.select(*deferred.columns))
+        )
+
+        # 6. metrics + atomic commit (also truncates lineage via read-back)
+        n_eligible = eligible.count()
+        n_contacts = round_contacts.count()
+        round_metrics = spark.createDataFrame(
+            [
+                (config.run_id, round_no, "frontier_urls", n_eligible),
+                (config.run_id, round_no, "contacts_extracted", n_contacts),
+                (
+                    config.run_id,
+                    round_no,
+                    "round_millis",
+                    int((time.time() - t0) * 1000),
+                ),
+            ],
+            schema=empty_metrics.schema,
+        ).unionByName(
+            drop_metrics.select(
+                F.lit(config.run_id).alias("run_id"),
+                F.lit(round_no).alias("round"),
+                "metric",
+                F.col("value").cast("long"),
+            )
+        )
+        metrics_next = metrics.unionByName(round_metrics)
+        contacts_next = all_contacts.unionByName(round_contacts)
+
+        if store is not None:
+            versions = {}
+            for name, df in [
+                ("frontier", frontier_next),
+                ("url_seen", url_seen_next),
+                ("contacts", contacts_next),
+                ("metrics", metrics_next),
+            ]:
+                store.stage(name, df, round_no)
+                versions[name] = round_no
+            store.commit(round_no, versions, {"run_id": config.run_id})
+            frontier = store.read(spark, "frontier")
+            url_seen = store.read(spark, "url_seen")
+            all_contacts = store.read(spark, "contacts")
+            metrics = store.read(spark, "metrics")
+        else:
+            # keep lineage bounded without a store
+            frontier = frontier_next.localCheckpoint(eager=True)
+            url_seen = url_seen_next.localCheckpoint(eager=True)
+            all_contacts = contacts_next.localCheckpoint(eager=True)
+            metrics = metrics_next.localCheckpoint(eager=True)
+        eligible.unpersist()
+
+    deduped = extract.dedup_contacts(all_contacts)
+    summary = {
+        "num_endpoints": url_seen.count(),
+        "num_subdomains": url_seen.select(
+            udfs.url_host(F.col("url")).alias("h")
+        )
+        .distinct()
+        .count(),
+        "rounds": rounds_run,
+    }
+    return CrawlResult(url_seen, deduped, metrics, rounds_run, summary)

@@ -1,0 +1,182 @@
+"""End-to-end crawl replay: distributed engine vs pure-Python oracle.
+
+The oracle (breakchecker_spark/oracle.py) implements the reference
+crawler's observable semantics (break_checker.py:1319-1444) with the
+pinned determinism rules; these tests assert the Spark engine produces
+the identical URL-seen set (with depths), contacts with first-source
+attribution, under no-budget, budgeted, robots-gated, bloom-on/off and
+kill/resume conditions.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from breakchecker_spark import oracle, schemas
+from breakchecker_spark.plans.crawl import CrawlConfig, run_crawl
+from tests import fixture_web
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    return spark.createDataFrame(fixture_web.pages_rows(), schema=schemas.PAGES).cache()
+
+
+@pytest.fixture(scope="module")
+def seeds_df(spark):
+    return spark.createDataFrame(fixture_web.SEEDS, schema=schemas.SEEDS)
+
+
+def _sim(max_depth, budget=None, robots=None):
+    pages = fixture_web.build_pages()
+    texts = {
+        u: (fixture_web.htmlx.page_text(h) if not u.endswith(".js") else h)
+        for u, h in pages.items()
+    }
+    return oracle.simulate_crawl(
+        pages,
+        fixture_web.SEEDS,
+        fixture_web.SCOPE,
+        max_depth,
+        host_budget=budget,
+        robots=robots,
+        page_texts=texts,
+    )
+
+
+def _engine_visited(result):
+    return {
+        (r["url"], r["depth"]) for r in result.url_seen.select("url", "depth").collect()
+    }
+
+
+def _engine_contacts(result):
+    rows = result.contacts.collect()
+    emails = {r["identifier"]: (r["depth"], r["source_url"]) for r in rows if r["kind"] == "email"}
+    phones = {r["identifier"]: (r["depth"], r["source_url"]) for r in rows if r["kind"] == "phone"}
+    return emails, phones
+
+
+@pytest.mark.parametrize("use_bloom", [False, True])
+def test_full_crawl_matches_oracle(spark, pages_df, seeds_df, use_bloom):
+    cfg = CrawlConfig(scope_host=fixture_web.SCOPE, max_depth=3, use_bloom=use_bloom,
+                      bloom_parts=4, bloom_expected_per_part=1000)
+    result = run_crawl(spark, seeds_df, pages_df, cfg)
+    sim = _sim(max_depth=3)
+
+    assert _engine_visited(result) == set(sim.visited.items())
+    emails, phones = _engine_contacts(result)
+    assert emails == sim.emails
+    assert phones == sim.phones
+
+
+def test_depth_gate(spark, pages_df, seeds_df):
+    cfg = CrawlConfig(scope_host=fixture_web.SCOPE, max_depth=1, use_bloom=False)
+    result = run_crawl(spark, seeds_df, pages_df, cfg)
+    sim = _sim(max_depth=1)
+    assert _engine_visited(result) == set(sim.visited.items())
+    # the depth-4 page's email must never appear
+    emails, _ = _engine_contacts(result)
+    assert "never-reached@example.com" not in emails
+    assert all(d <= 1 for _, (d, _) in emails.items())
+
+
+def test_expected_semantic_facts(spark, pages_df, seeds_df):
+    """Hard-coded facts independent of the oracle implementation."""
+    cfg = CrawlConfig(scope_host=fixture_web.SCOPE, max_depth=3, use_bloom=False)
+    result = run_crawl(spark, seeds_df, pages_df, cfg)
+    emails, phones = _engine_contacts(result)
+
+    # extraction positives
+    assert "info@example.com" in emails
+    assert "ceo@example.com" in emails  # html entity decoded
+    assert "jobs@example.com" in emails and "talent@example.com" in emails
+    assert "recruit@example.com" in emails  # mailto cc list
+    assert "sales@example.com" in emails  # <wrapped>
+    assert "js_owner@example.com" in emails  # from .js raw content
+    assert "esc@example.com" in emails  # \\u0040 decoded
+    assert "team@sub.example.com" in emails  # same org, subdomain
+    assert "orders@example.com" in emails  # via link-discovered subdomain
+    # negatives
+    assert "partner@gmail.com" not in emails  # out of org
+    assert "secret@example.com" not in emails  # out-of-scope host never fetched
+    assert "never-reached@example.com" not in emails  # depth gate
+    assert not any(e.endswith("png") or e.endswith("jpeg") for e in emails)
+
+    # phones: + prefixed valid; no-region nationals dropped; js phone dropped
+    assert "2125550123" in phones and "2125550124" in phones
+    assert "2125550199" in phones
+    assert "2101234567" in phones  # +30 → GR national
+    assert "2125550888" not in phones  # js file: phones suppressed
+    assert "2125550125" not in phones  # national form, no default region for .com
+
+    # subdomain discovery via BFS link
+    hosts = {
+        r["url"].split("://")[1].split("/")[0]
+        for r in result.url_seen.select("url").collect()
+    }
+    assert "shop.example.com" in hosts
+    assert not any(h.endswith("outside.org") for h in hosts)
+
+    # struct-key collapse: /contact never visited alongside /contact.html
+    urls = {r["url"] for r in result.url_seen.select("url").collect()}
+    assert "https://example.com/contact.html" in urls
+    assert "https://example.com/contact" not in urls
+
+
+def test_politeness_budget_carryover(spark, pages_df, seeds_df):
+    cfg = CrawlConfig(
+        scope_host=fixture_web.SCOPE, max_depth=3, host_budget=1, use_bloom=False
+    )
+    result = run_crawl(spark, seeds_df, pages_df, cfg)
+    sim = _sim(max_depth=3, budget=1)
+    assert _engine_visited(result) == set(sim.visited.items())
+    emails, phones = _engine_contacts(result)
+    assert emails == sim.emails and phones == sim.phones
+    # budget=1 must take strictly more rounds than depth+1
+    assert result.rounds > 4
+
+
+def test_robots_gating(spark, pages_df, seeds_df):
+    robots_rows = [("example.com", "/deep", 1.0), ("shop.example.com", "/cart", 1.0)]
+    robots_df = spark.createDataFrame(robots_rows, schema=schemas.ROBOTS)
+    cfg = CrawlConfig(scope_host=fixture_web.SCOPE, max_depth=3, use_bloom=False)
+    result = run_crawl(spark, seeds_df, pages_df, cfg, robots=robots_df)
+    sim = _sim(max_depth=3, robots=[("example.com", "/deep"), ("shop.example.com", "/cart")])
+    assert _engine_visited(result) == set(sim.visited.items())
+    urls = {u for u, _ in _engine_visited(result)}
+    assert not any("/deep" in u for u in urls)
+    assert not any("/cart" in u for u in urls)
+    emails, _ = _engine_contacts(result)
+    assert "cart-help@example.com" not in emails
+
+
+def test_resume_equals_uninterrupted(spark, pages_df, seeds_df, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    base = dict(scope_host=fixture_web.SCOPE, max_depth=3, use_bloom=False)
+
+    # uninterrupted run
+    full = run_crawl(spark, seeds_df, pages_df, CrawlConfig(**base))
+
+    # killed after 2 rounds, then resumed
+    cfg_kill = CrawlConfig(**base, checkpoint_dir=ckpt, max_rounds=2)
+    run_crawl(spark, seeds_df, pages_df, cfg_kill)
+    cfg_resume = CrawlConfig(**base, checkpoint_dir=ckpt)
+    resumed = run_crawl(spark, seeds_df, pages_df, cfg_resume, resume=True)
+
+    assert _engine_visited(resumed) == _engine_visited(full)
+    assert _engine_contacts(resumed) == _engine_contacts(full)
+
+
+def test_metrics_recorded(spark, pages_df, seeds_df):
+    cfg = CrawlConfig(scope_host=fixture_web.SCOPE, max_depth=2, use_bloom=False)
+    result = run_crawl(spark, seeds_df, pages_df, cfg)
+    m = {r["metric"] for r in result.metrics.select("metric").distinct().collect()}
+    assert {"frontier_urls", "contacts_extracted", "emails_dropped", "phones_dropped"} <= m
+    total_frontier = (
+        result.metrics.filter(F.col("metric") == "frontier_urls")
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert total_frontier == result.summary["num_endpoints"]
