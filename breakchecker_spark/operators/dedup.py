@@ -1,0 +1,296 @@
+"""Deduplication suite for web-scale training-data pipelines.
+
+Five families, all shuffle-conscious:
+
+* exact          — hash groupBy on content (or md5(content) at scale so
+                   the shuffle key is 32 bytes, not the document);
+* n-gram Jaccard — shingle explode + same-shingle join with length
+                   blocking, exact similarity on candidate pairs only;
+* MinHash + LSH  — portable-hash signatures, banded bucket join; only
+                   same-bucket pairs are verified (classic
+                   Broder/Leskovec construction from public literature);
+* SimHash        — 64-bit hyperplane-free token-hash majority vote,
+                   vectorized in numpy (Arrow batches);
+* embedding      — cosine near-dup pairs with blocking (see
+                   similarity.py for the ANN machinery).
+
+MinHash uses md5-derived hash families (``md5(seed || shingle)`` hex
+prefix) rather than xxhash64 so the DuckDB oracle can reproduce the
+exact signatures — determinism beats speed for the correctness gate;
+swap HASH_FN to xxhash64 for production throughput.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+def _tokens(text_col):
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def shingles(text_col, k: int = 3):
+    """k-token shingles as an array column (empty-safe)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+# ------------------------------------------------------------- exact
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, n_dups, doc_ids).
+
+    Shuffles md5(content), not content — at 100 TB the shuffle payload
+    is the id + 32-byte hash only.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def distinct_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative per identical content."""
+    w_min = (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_min.select(id_col), id_col, "left_semi")
+
+
+# ------------------------------------------------- n-gram Jaccard
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via shingle co-occurrence join.
+
+    explode(shingles) → self-join on shingle (id_a < id_b) → count
+    common shingles per pair → similarity = |∩| / (|A|+|B|-|∩|).
+    The shingle join is the only shuffle; pairs sharing zero shingles
+    never materialize (this is the blocking).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return common.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------- MinHash + LSH
+
+
+def minhash_signature(text_col, num_hashes: int = 16, k: int = 3):
+    """Array of ``num_hashes`` portable minhash values.
+
+    hash_j(s) = int(md5(j || ':' || s)[:8 hex], 16) — reproducible in
+    any SQL engine with md5, so the DuckDB oracle checks exact values.
+    """
+    sh = shingles(text_col, k)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda s, j=j: F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"{j}:"), s)), 1, 8), 16, 10
+                    ).cast("long"),
+                )
+            ).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over minhash signatures.
+
+    Signature split into ``bands`` rows of ``num_hashes/bands``; a pair
+    landing in the same bucket for ANY band becomes a candidate.
+    Returns (id_a, id_b, est_jaccard) where est = matching signature
+    fraction — callers verify with exact jaccard_pairs if needed.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(num_hashes),
+        6,
+    )
+    return cand.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+# ----------------------------------------------------------- SimHash
+
+_SIMHASH_SCHEMA = T.LongType()
+
+
+@F.pandas_udf(_SIMHASH_SCHEMA)
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (numpy-vectorized batches).
+
+    Token hash = md5 low 64 bits; each bit votes ±1; sign of the vote
+    sum per bit position forms the fingerprint (Charikar's scheme).
+    """
+    import hashlib
+
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, t in enumerate(text):
+        if not t:
+            continue
+        toks = t.lower().split()
+        if not toks:
+            continue
+        hashes = np.frombuffer(
+            b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
+            dtype=np.uint64,
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        fp = np.uint64(0)
+        for pos in np.nonzero(votes > 0)[0]:
+            fp |= np.uint64(1) << np.uint64(pos)
+        out[i] = np.int64(fp)
+    return pd.Series(out)
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, 16-bit-block blocked.
+
+    Pigeonhole: at max_hamming ≤ 3, any near pair agrees on at least
+    one of the four 16-bit blocks — join on (block_idx, block_value)
+    instead of all-pairs.
+    """
+    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    blocks = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("fp", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "fp", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,70 @@
+"""Breach join + multimodal plumbing tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from breakchecker_spark.operators import breach, multimodal
+
+
+def test_breach_join_semantics(spark):
+    contacts = spark.createDataFrame(
+        [
+            ("email", "a@x.com", "https://x.com", 0),
+            ("email", "b@x.com", "https://x.com/p", 1),
+            ("phone", "2101234567", "https://x.com", 0),
+        ],
+        "kind string, identifier string, source_url string, depth int",
+    )
+    db = spark.createDataFrame(
+        [
+            ("a@x.com", "BreachTwo"),
+            ("a@x.com", "BreachOne"),
+            ("a@x.com", "BreachOne"),  # duplicate pair must collapse
+            ("ghost@x.com", "Never"),  # never extracted → must not appear
+        ],
+        "identifier string, breach string",
+    )
+    out = {r["identifier"]: r for r in breach.match_breaches(contacts, db).collect()}
+    assert out["a@x.com"]["breaches"] == ["BreachOne", "BreachTwo"]  # sorted, deduped
+    assert out["b@x.com"]["breaches"] == []  # not found → empty list
+    assert out["2101234567"]["breaches"] == []
+    assert "ghost@x.com" not in out  # join must not invent rows
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNGfake", "image/png", {"w": "64", "h": "64"}),
+        (2, "audio", b"RIFFfake", "audio/wav", {"sr": "16000"}),
+        (3, "video", b"\x00MP4fake", "video/mp4", {"n_frames": "25"}),
+        (4, "image", None, "image/png", {}),
+    ]
+    return spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+
+def test_binary_metadata(spark, media):
+    meta = {r["media_id"]: r for r in multimodal.binary_metadata(media).collect()}
+    assert meta[1]["n_bytes"] == 8
+    assert len(meta[1]["sha1"]) == 40
+    assert meta[4]["n_bytes"] is None  # null payload stays null
+
+
+def test_extract_features_deterministic(spark, media):
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert len(feats[1]["feature"]) == 8
+    assert all(0.0 <= v <= 1.0 for v in feats[1]["feature"])
+    # deterministic: same payload → same feature
+    again = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[1]["feature"] == again[1]["feature"]
+    assert feats[1]["sha1"] != feats[2]["sha1"]
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"xx", "image", real=True)
+
+
+def test_frame_sample_plan(spark, media):
+    frames = multimodal.frame_sample_plan(media, every_n=10).collect()
+    idx = sorted(r["frame_idx"] for r in frames)
+    assert idx == [0, 10, 20]

@@ -1,0 +1,141 @@
+"""Dedup suite + similarity search + text stats operator tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from breakchecker_spark.operators import dedup, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    groups = dedup.exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2]
+    kept = {r["doc_id"] for r in dedup.distinct_documents(docs, "doc_id", "text").collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_exact_and_near(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", 16, 4).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical signatures always collide
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash(spark, docs):
+    pairs = dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=8).collect()
+    keyed = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert keyed[(1, 2)] == 0
+    if (1, 3) in keyed:
+        assert keyed[(1, 3)] > 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0, 0.0], 1),
+        (5, [0.0, 0.0, 0.95, 0.05], 1),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).cache()
+
+
+def test_brute_force_topk(spark, vectors):
+    top = similarity.brute_force_topk(vectors, vectors.filter(F.col("vec_id") == 1), k=2)
+    rows = sorted(top.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [2, 3]
+    assert rows[0]["cos"] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-5)
+
+
+def test_lsh_topk_subset_of_exact_scores(spark, vectors):
+    approx = similarity.lsh_topk(
+        vectors, vectors.filter(F.col("vec_id") == 1), dim=4, k=2, n_planes=2
+    ).collect()
+    # approximate results must carry exactly-scored cosines
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.brute_force_topk(
+            vectors, vectors.filter(F.col("vec_id") == 1), k=10
+        ).collect()
+    }
+    for r in approx:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cos"]
+
+
+def test_cosine_neardup_pairs(spark, vectors):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.cosine_neardup_pairs(vectors, threshold=0.9).collect()
+    }
+    assert (1, 2) in pairs and (4, 5) in pairs
+    assert (1, 3) not in pairs  # orthogonal
+    assert (2, 4) not in pairs  # different block
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick fox and the dog is here with the cat"),
+            (2, "der hund und die katze ist nicht hier"),
+            (3, "xyzzy qwerty plugh"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in textstats.document_stats(df).collect()}
+    assert stats[1]["lang_pred"] == "en"
+    assert stats[2]["lang_pred"] == "de"
+    assert stats[3]["lang_pred"] == "und"
+    assert stats[1]["n_tokens_ws"] == 11
+    assert stats[4]["n_tokens_ws"] == 0
+    assert 0.0 <= stats[1]["quality"] <= 1.0
+    assert stats[1]["quality"] > stats[3]["quality"]
+    assert len(stats[1]["fingerprint"]) == 16
+
+
+def test_fingerprint_rolling_shift_resistant(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),
+            (2, "PREFIX a b c d e f g h i j k l"),  # shifted content
+            (3, "totally different words here x y z w q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", textstats.fingerprint_rolling(F.col("text"), 8).alias("fp")
+        ).collect()
+    }
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
