@@ -117,6 +117,19 @@ def jaccard_pairs(
 # ---------------------------------------------------- MinHash + LSH
 
 
+def _minhash_fn(seed: int):
+    """One-arg lambda factory — a two-parameter lambda would make
+    F.transform pass the array index as the second argument."""
+    prefix = f"{seed}:"
+
+    def fn(s):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 8), 16, 10
+        ).cast("long")
+
+    return fn
+
+
 def minhash_signature(text_col, num_hashes: int = 16, k: int = 3):
     """Array of ``num_hashes`` portable minhash values.
 
@@ -126,14 +139,7 @@ def minhash_signature(text_col, num_hashes: int = 16, k: int = 3):
     sh = shingles(text_col, k)
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    sh,
-                    lambda s, j=j: F.conv(
-                        F.substring(F.md5(F.concat(F.lit(f"{j}:"), s)), 1, 8), 16, 10
-                    ).cast("long"),
-                )
-            ).alias(f"mh{j}")
+            F.array_min(F.transform(sh, _minhash_fn(j))).alias(f"mh{j}")
             for j in range(num_hashes)
         ]
     )

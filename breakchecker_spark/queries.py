@@ -1,0 +1,724 @@
+"""Driver-contract query suite: one entry per operator family
+(SURVEY.md §2 + training-data ops), each with a DuckDB oracle.
+
+Every query takes ``(spark, sf_dir)`` and returns a DataFrame; the
+paired SQL in ``ORACLES`` is executed by DuckDB over the same parquet
+files. Column names/aliases match exactly on both sides; float
+aggregates are rounded on both sides; timestamps are stringified to
+dodge tz-representation drift between engines.
+
+Queries without an oracle entry (the genuinely non-SQL crawl loop) get
+the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import schemas
+from .operators import dedup, similarity, textstats
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Relational core (TPC-H shapes — prove the declarative engine breadth)
+# =====================================================================
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_nation_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def region_rollup(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# =====================================================================
+# Crawl-shaped operators over events/documents (SURVEY §2.2-2.7)
+# =====================================================================
+
+
+def first_event_per_user(spark, sf_dir):
+    """A1/A2 first-discovery-wins dedup: min (ts, event_id) per user."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by("event_id", F.struct("ts", "event_id")).alias("first_event_id"),
+            F.min_by("event_type", F.struct("ts", "event_id")).alias("first_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def seen_anti_join(spark, sf_dir):
+    """J1/U3 anti-join: users with no high-value error event
+    (selective predicate so the result is non-trivial at every sf)."""
+    ev = _t(spark, sf_dir, "events")
+    seen_set = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 190))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        ev.select("user_id")
+        .distinct()
+        .join(seen_set, "user_id", "left_anti")
+        .orderBy("user_id")
+    )
+
+
+def liveness_semi_join(spark, sf_dir):
+    """J4 semi-join: customers with at least one order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders.select("o_custkey").distinct(),
+                  cust.c_custkey == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def union_distinct_nations(spark, sf_dir):
+    """U1/A3 distinct union of two key sources."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return cust.unionByName(supp).distinct().orderBy("nationkey")
+
+
+def politeness_topk(spark, sf_dir):
+    """§2.5 per-host budget window: top-3 docs per source."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "doc_id", "n_chars", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+def token_explode_counts(spark, sf_dir):
+    """U2/J2 frontier-expansion shape: explode + count, top 50 tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+def regex_extract_counts(spark, sf_dir):
+    """X4 extraction shape: regexp_extract_all + explode per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit("[a-z]{6,}"), F.lit(0))
+            ).alias("m"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_matches"), F.count_distinct("m").alias("n_unique"))
+        .orderBy("source")
+    )
+
+
+def breach_join_shape(spark, sf_dir):
+    """J3 lookup-join + A6 sorted set aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+                "types_str"
+            ),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def struct_key_dedup(spark, sf_dir):
+    """D5 structural dedup: keep the min-(linenumber, partkey) row per
+    orderkey — total order so duplicate linenumbers stay deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").alias("first_line"),
+            F.col("l_partkey").alias("first_partkey"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+def json_props_extract(spark, sf_dir):
+    """S9-adjacent JSON scalar extraction (from_json path)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def events_tumbling_window(spark, sf_dir):
+    """Streaming-analog tumbling window (1 h) as batch agg."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "wstart"
+            ),
+            "value",
+        )
+        .groupBy("wstart")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("wstart")
+    )
+
+
+def sessionize_events(spark, sf_dir):
+    """Session windows via 30-min gap rule → sessions per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gapped = ev.withColumn(
+        "new_sess",
+        F.when(micros - F.lag(micros).over(w) > 1800 * 1_000_000, 1).otherwise(0),
+    )
+    return (
+        gapped.groupBy("user_id")
+        .agg((F.sum("new_sess") + 1).alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# =====================================================================
+# Training-data pipeline operators
+# =====================================================================
+
+
+def dedup_exact_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_distinct"),
+    )
+
+
+def doc_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.fingerprint_md5(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def dedup_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def minhash_signatures(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(F.col("text"), num_hashes=4, k=3)
+    return docs.select(
+        "doc_id",
+        *[sig[j].alias(f"mh{j}") for j in range(4)],
+    ).orderBy("doc_id")
+
+
+def token_count_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        textstats.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+    ).orderBy("doc_id")
+
+
+def lang_id_pred(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+def quality_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+def ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    emb = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return (
+        similarity.brute_force_topk(emb, q, k=3)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos4"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    emb = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    ).filter(F.col("vec_id") < 500)
+    return (
+        similarity.cosine_neardup_pairs(emb, threshold=0.3)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos4"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def multimodal_binary_meta(spark, sf_dir):
+    """Binary-column plumbing: payload synthesized from text bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("sha_hex"),
+    ).orderBy("doc_id")
+
+
+# =====================================================================
+# Non-SQL: the crawl loop itself (rows-only driver check)
+# =====================================================================
+
+_CRAWL_HTML = {
+    "https://acme.gr/": (
+        '<html><body><a href="/a">a</a><a href="/b?utm_source=x">b</a>'
+        '<a href="mailto:info@acme.gr">m</a>'
+        "<p>root@acme.gr +30 210 123 4567</p></body></html>"
+    ),
+    "https://acme.gr/a": (
+        '<html><body><a href="https://dev.acme.gr/">dev</a>'
+        "<p>a@acme.gr and drop@gmail.com</p></body></html>"
+    ),
+    "https://acme.gr/b": "<html><body><p>b@acme.gr</p></body></html>",
+    "https://dev.acme.gr/": "<html><body><p>dev@acme.gr 212 555 0199</p></body></html>",
+}
+
+
+def crawl_frontier_bfs(spark, sf_dir):
+    """Flagship non-SQL operator: 2-depth BFS crawl over an embedded
+    deterministic web graph → contacts with first-source attribution.
+    No DuckDB oracle (iterative, stateful) → rows-only check; full
+    oracle-parity coverage lives in tests/test_crawl_e2e.py."""
+    from .plans.crawl import CrawlConfig, run_crawl
+
+    ts = datetime.datetime(2025, 1, 1)
+    pages = spark.createDataFrame(
+        [(u, ts, h.encode(), h, "en") for u, h in sorted(_CRAWL_HTML.items())],
+        schema=schemas.PAGES,
+    )
+    seeds = spark.createDataFrame([("acme.gr", "https")], schema=schemas.SEEDS)
+    res = run_crawl(
+        spark, seeds, pages, CrawlConfig(scope_host="acme.gr", max_depth=2, use_bloom=False)
+    )
+    return res.contacts.orderBy("kind", "identifier")
+
+
+# =====================================================================
+# Registry + oracles
+# =====================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_nation_revenue": q5_nation_revenue,
+    "region_rollup": region_rollup,
+    "first_event_per_user": first_event_per_user,
+    "seen_anti_join": seen_anti_join,
+    "liveness_semi_join": liveness_semi_join,
+    "union_distinct_nations": union_distinct_nations,
+    "politeness_topk": politeness_topk,
+    "token_explode_counts": token_explode_counts,
+    "regex_extract_counts": regex_extract_counts,
+    "breach_join_shape": breach_join_shape,
+    "struct_key_dedup": struct_key_dedup,
+    "json_props_extract": json_props_extract,
+    "events_tumbling_window": events_tumbling_window,
+    "sessionize_events": sessionize_events,
+    "dedup_exact_stats": dedup_exact_stats,
+    "doc_fingerprints": doc_fingerprints,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "minhash_signatures": minhash_signatures,
+    "token_count_stats": token_count_stats,
+    "lang_id_pred": lang_id_pred,
+    "quality_scores": quality_scores,
+    "ann_cosine_topk": ann_cosine_topk,
+    "embedding_neardup": embedding_neardup,
+    "multimodal_binary_meta": multimodal_binary_meta,
+    "crawl_frontier_bfs": crawl_frontier_bfs,
+}
+
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(tk)-2,1)+1),"
+    " i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
+)
+
+_MARKERS = {
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "en": ("the", "and", "of", "is", "with"),
+    "es": ("el", "los", "que", "una", "para"),
+    "fr": ("le", "la", "les", "est", "une"),
+}
+
+
+def _occ_sql(word: str) -> str:
+    pad = f"' ' || lower(text) || ' '"
+    needle = f"' {word} '"
+    return (
+        f"CAST((length({pad}) - length(replace({pad}, {needle}, ''))) / {len(word) + 2} AS INT)"
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_occ_sql(w) for w in _MARKERS[lang])
+
+
+_LANG_CASE = (
+    "CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' "
+    "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' "
+    "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' "
+    "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END"
+)
+
+_STOP_HITS = " + ".join(_occ_sql(w) for w in textstats.STOPWORDS)
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_nation_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "region_rollup": """
+        SELECT r_name, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "first_event_per_user": """
+        SELECT user_id, event_id AS first_event_id, event_type AS first_type
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1 ORDER BY user_id
+    """,
+    "seen_anti_join": """
+        SELECT DISTINCT user_id FROM events
+        WHERE user_id NOT IN (SELECT user_id FROM events
+                              WHERE event_type = 'error' AND value > 190)
+        ORDER BY user_id
+    """,
+    "liveness_semi_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "union_distinct_nations": """
+        SELECT DISTINCT nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION ALL SELECT s_nationkey AS nationkey FROM supplier
+        ) ORDER BY nationkey
+    """,
+    "politeness_topk": """
+        SELECT source, doc_id, n_chars, rk FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rk
+            FROM documents) WHERE rk <= 3 ORDER BY source, rk
+    """,
+    "token_explode_counts": """
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY token
+        ORDER BY n DESC, token ASC LIMIT 50
+    """,
+    "regex_extract_counts": """
+        SELECT source, count(*) AS n_matches, count(DISTINCT m) AS n_unique
+        FROM (SELECT source, unnest(regexp_extract_all(text, '[a-z]{6,}')) AS m
+              FROM documents)
+        GROUP BY source ORDER BY source
+    """,
+    "breach_join_shape": """
+        SELECT user_id,
+               string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_str,
+               count(*) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "struct_key_dedup": """
+        SELECT l_orderkey, l_linenumber AS first_line, l_partkey AS first_partkey
+        FROM (SELECT l_orderkey, l_linenumber, l_partkey,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber, l_partkey) AS rn
+              FROM lineitem)
+        WHERE rn = 1 ORDER BY l_orderkey
+    """,
+    "json_props_extract": """
+        SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+               count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "events_tumbling_window": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY wstart ORDER BY wstart
+    """,
+    "sessionize_events": """
+        SELECT user_id, sum(new_sess) + 1 AS n_sessions, count(*) AS n_events
+        FROM (SELECT user_id,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "dedup_exact_stats": """
+        SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct
+        FROM documents
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint
+        FROM documents ORDER BY doc_id
+    """,
+    "dedup_jaccard_pairs": f"""
+        WITH sh AS (
+            SELECT doc_id AS id, {_SHINGLES} AS shs
+            FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+                  FROM documents)
+        ),
+        ex AS (SELECT id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh)
+        SELECT a.id AS id_a, b.id AS id_b,
+               round(count(*) * 1.0 /
+                     (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING round(count(*) * 1.0 /
+                     (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    "minhash_signatures": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_SHINGLES.replace('tk', 'tk')}) AS s
+            FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+                  FROM documents)
+        )
+        SELECT doc_id,
+               min(CAST(('0x' || substr(md5('0:' || s), 1, 8)) AS BIGINT)) AS mh0,
+               min(CAST(('0x' || substr(md5('1:' || s), 1, 8)) AS BIGINT)) AS mh1,
+               min(CAST(('0x' || substr(md5('2:' || s), 1, 8)) AS BIGINT)) AS mh2,
+               min(CAST(('0x' || substr(md5('3:' || s), 1, 8)) AS BIGINT)) AS mh3
+        FROM sh GROUP BY doc_id ORDER BY doc_id
+    """,
+    "token_count_stats": f"""
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens_ws,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                   AS n_tokens_bpe
+        FROM documents ORDER BY doc_id
+    """,
+    "lang_id_pred": f"""
+        SELECT doc_id, {_LANG_CASE} AS lang_pred
+        FROM (SELECT doc_id,
+                     {_lang_score_sql('de')} AS s_de,
+                     {_lang_score_sql('en')} AS s_en,
+                     {_lang_score_sql('es')} AS s_es,
+                     {_lang_score_sql('fr')} AS s_fr
+              FROM documents)
+        ORDER BY doc_id
+    """,
+    "quality_scores": f"""
+        SELECT doc_id,
+               round((least(n / 1000.0, 1.0)
+                      + CASE WHEN n > 0 THEN alpha / n ELSE 0 END
+                      + CASE WHEN toks > 0 THEN least(stop_hits / toks, 0.5) * 2
+                             ELSE 0 END
+                      + CASE WHEN n > 0 THEN 1 - symbols / n ELSE 0 END) / 4,
+                     6) AS quality
+        FROM (SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS n,
+                     CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                          AS DOUBLE) AS alpha,
+                     CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                          AS DOUBLE) AS symbols,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                          AS DOUBLE) AS toks,
+                     CAST({_STOP_HITS} AS DOUBLE) AS stop_hits
+              FROM documents)
+        ORDER BY doc_id
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_dot_product(q.qv, e.embedding) /
+                         (sqrt(list_dot_product(q.qv, q.qv)) *
+                          sqrt(list_dot_product(e.embedding, e.embedding))), 6) AS cos
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
+        FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+    "embedding_neardup": """
+        WITH e AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 500)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(round(list_dot_product(a.embedding, b.embedding) /
+                     (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                      sqrt(list_dot_product(b.embedding, b.embedding))), 6), 4) AS cos4
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.embedding, b.embedding) /
+                    (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                     sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.3
+        ORDER BY id_a, id_b
+    """,
+    "multimodal_binary_meta": """
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS sha_hex
+        FROM documents ORDER BY doc_id
+    """,
+    # crawl_frontier_bfs: intentionally no oracle (iterative/stateful).
+}
