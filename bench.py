@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline operator queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, plus the crawl
+replay over a deterministically synthesized pages table
+(``$SPARK_GRAFT_BENCH_PAGES`` pages, default 100_000), and prints ONE
+JSON line::
+
+    {"metric": "total_bench_seconds", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1,
+     "throughput": {"frontier_urls_per_sec": ..,
+                    "identifiers_per_sec": ..}}
+
+Query results are consumed with the noop sink (full execution, no
+driver collection cost). Run scripts/scaling_run.py for the N-vs-4N
+parallelism scaling evidence (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from breakchecker_spark import queries as Q
+from breakchecker_spark.plans.crawl import CrawlConfig, run_crawl
+from breakchecker_spark.session import get_spark
+from breakchecker_spark.sources import pagegen
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "first_event_per_user",
+    "politeness_topk",
+    "token_explode_counts",
+    "breach_join_shape",
+    "sessionize_events",
+    "dedup_jaccard_pairs",
+    "minhash_signatures",
+    "ann_cosine_topk",
+    "embedding_neardup",
+]
+
+
+def run_crawl_bench(spark, n_pages: int, tmp_root: str) -> dict:
+    """Crawl the synthetic web; report wall time + throughputs."""
+    pages_path = os.path.join(tmp_root, f"pages_{n_pages}")
+    pagegen.materialize(spark, n_pages, pages_path)
+    pages = spark.read.parquet(pages_path)
+    seeds = pagegen.seeds_df(spark)
+    import shutil
+
+    ckpt = os.path.join(tmp_root, f"ckpt_{n_pages}_{time.time_ns()}")
+    cfg = CrawlConfig(
+        scope_host=pagegen.ORG,
+        max_depth=12,
+        use_bloom=True,
+        bloom_parts=32,
+        bloom_expected_per_part=max(n_pages // 16, 1000),
+        checkpoint_dir=ckpt,
+        run_id="bench",
+    )
+    t0 = time.time()
+    res = run_crawl(spark, seeds, pages, cfg)
+    n_visited = res.summary["num_endpoints"]
+    n_ids = res.contacts.count()
+    secs = time.time() - t0
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "crawl_seconds": round(secs, 2),
+        "pages": n_pages,
+        "visited": n_visited,
+        "identifiers": n_ids,
+        "frontier_urls_per_sec": round(n_visited / secs, 1),
+        "identifiers_per_sec": round(n_ids / secs, 1),
+        "rounds": res.rounds,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
+    tmp_root = os.environ.get(
+        "SPARK_GRAFT_BENCH_TMP", os.path.join(os.path.dirname(__file__), ".bench")
+    )
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "24g")},
+    )
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        df = fn(spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    crawl = run_crawl_bench(spark, n_pages, tmp_root)
+    times["crawl_replay"] = crawl["crawl_seconds"]
+
+    total = round(sum(times.values()), 2)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "throughput": {
+                    "frontier_urls_per_sec": crawl["frontier_urls_per_sec"],
+                    "identifiers_per_sec": crawl["identifiers_per_sec"],
+                    "crawl_pages": crawl["pages"],
+                    "crawl_visited": crawl["visited"],
+                    "crawl_identifiers": crawl["identifiers"],
+                    "crawl_rounds": crawl["rounds"],
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

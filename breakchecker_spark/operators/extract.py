@@ -40,8 +40,8 @@ def process_pages(
     scope_host: str,
     default_region: str | None,
     org_domain: str,
-) -> Tuple[DataFrame, DataFrame, DataFrame]:
-    """(link_candidates, contacts, drop_metrics) from fetched frontier rows.
+) -> Tuple[DataFrame, DataFrame, DataFrame, list]:
+    """(link_candidates, contacts, drop_metrics, caches) from fetched rows.
 
     ``fetched``: (url, depth, html[, text]) — the frontier joined
     against the pages table. Returns:
@@ -51,7 +51,9 @@ def process_pages(
     * contacts: (kind, identifier, source_url, depth) normalized, org-
       scoped (emails) / region-validated (phones);
     * drop_metrics: (metric, value) exact kept/dropped counts
-      (reference counters bc:1238-1241).
+      (reference counters bc:1238-1241);
+    * caches: cached intermediate DataFrames — caller unpersists them
+      once the round's outputs are materialized.
     """
     raw_str = F.when(
         F.col("html").isNotNull(), F.decode(F.col("html"), "UTF-8")
@@ -155,31 +157,23 @@ def process_pages(
     )
 
     # ---- exact kept/dropped metrics (bc:1238-1241 counters) --------
-    drop_metrics = (
-        email_rows.agg(
-            F.sum(F.when(~F.col("_org_ok"), 1).otherwise(0)).alias("emails_dropped")
-        )
-        .crossJoin(
-            phone_rows.agg(
-                F.sum(F.when(F.col("identifier").isNull(), 1).otherwise(0)).alias(
-                    "phones_dropped"
-                )
-            )
-        )
-        .select(
-            F.explode(
-                F.map_from_arrays(
-                    F.array(F.lit("emails_dropped"), F.lit("phones_dropped")),
-                    F.array(
-                        F.coalesce(F.col("emails_dropped"), F.lit(0)),
-                        F.coalesce(F.col("phones_dropped"), F.lit(0)),
-                    ),
-                )
-            ).alias("metric", "value")
+    drop_metrics = email_rows.agg(
+        F.lit("emails_dropped").alias("metric"),
+        F.coalesce(
+            F.sum(F.when(~F.col("_org_ok"), 1).otherwise(0)), F.lit(0)
+        ).alias("value"),
+    ).unionByName(
+        phone_rows.agg(
+            F.lit("phones_dropped").alias("metric"),
+            F.coalesce(
+                F.sum(F.when(F.col("identifier").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("value"),
         )
     )
 
-    return link_candidates, contacts, drop_metrics
+    caches = [enriched, email_rows, phone_rows]
+    return link_candidates, contacts, drop_metrics, caches
 
 
 def dedup_contacts(contacts: DataFrame) -> DataFrame:

@@ -75,6 +75,38 @@ def build_bloom(
     return keyed.groupBy("part_id").applyInPandas(_build, schema=BLOOM_SCHEMA)
 
 
+def merge_bloom(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bitwise-OR two bloom tables built with identical (nbits, k).
+
+    Enables incremental maintenance: each round builds a small filter
+    over only the newly-seen keys and ORs it into the running filter —
+    the full seen table is never rescanned (the Iceberg-persisted
+    "filters" table pattern from SURVEY.md §4).
+    """
+
+    def _or(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[0]
+        merged = bloom.BloomPart.from_bytes(
+            int(first["nbits"]), int(first["k"]), first["bits"]
+        )
+        for raw in pdf["bits"].iloc[1:]:
+            merged = merged.merge(
+                bloom.BloomPart.from_bytes(int(first["nbits"]), int(first["k"]), raw)
+            )
+        return pd.DataFrame(
+            {
+                "part_id": [int(first["part_id"])],
+                "nbits": [int(first["nbits"])],
+                "k": [int(first["k"])],
+                "bits": [merged.to_bytes()],
+            }
+        )
+
+    return (
+        a.unionByName(b).groupBy("part_id").applyInPandas(_or, schema=BLOOM_SCHEMA)
+    )
+
+
 def _probe_schema(candidates: DataFrame) -> T.StructType:
     return T.StructType(
         candidates.schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)]

@@ -3,28 +3,42 @@
 Production deployments write these tables as Iceberg
 (``df.writeTo(...).using("iceberg")`` — atomic snapshot commits, exact
 resume via snapshot ids). This sandbox has no Iceberg runtime jars, so
-the store reproduces the two Iceberg properties the north rule needs —
-**atomic per-round commits** and **exact resume** — on plain parquet:
+the store reproduces the three Iceberg properties the north rule needs
+— **atomic per-round commits**, **append-only fast paths**, and
+**exact resume** — on plain parquet:
 
-* every table version is written to an immutable directory
+* every table version is an immutable directory
   ``<root>/<table>/v<round>/``;
-* a round is committed by atomically renaming ``_manifest.json.tmp`` →
-  ``_manifest.json`` at the store root (os.replace is atomic on POSIX);
-* a killed run resumes from the last committed manifest; orphan
-  directories from a partially-written round are simply ignored.
+* *replace* tables (frontier, bloom) list one live version; *append*
+  tables (url_seen, contacts, metrics) list every committed version —
+  readers union them (Iceberg-manifest style), so a round writes only
+  its delta, never the accumulated table;
+* a round commits by atomically renaming ``_manifest.json.tmp`` →
+  ``_manifest.json`` (os.replace is atomic on POSIX); orphan dirs from
+  a killed round are ignored on resume.
 
-The interface is format-agnostic: swap ``_write``/``_read`` for Iceberg
+The interface is format-agnostic: swap the parquet I/O for Iceberg
 calls and nothing above this module changes.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+
+
+def parquet_rows(path: str) -> int:
+    """Row count from parquet footers — no Spark job."""
+    total = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
 
 
 class CheckpointStore:
@@ -34,6 +48,7 @@ class CheckpointStore:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "_manifest.json")
+        self._pending: Dict[str, List[int]] = {}
 
     # ------------------------------------------------------------ state
 
@@ -49,21 +64,42 @@ class CheckpointStore:
         m = self.manifest()
         return -1 if m is None else m["round"]
 
+    def _committed_versions(self, table: str) -> List[int]:
+        m = self.manifest()
+        if m is None or table not in m["tables"]:
+            return []
+        return list(m["tables"][table])
+
     # ------------------------------------------------------------- I/O
 
-    def _table_dir(self, table: str, round_no: int) -> str:
-        return os.path.join(self.root, table, f"v{round_no}")
+    def _dir(self, table: str, version: int) -> str:
+        return os.path.join(self.root, table, f"v{version}")
 
-    def stage(self, table: str, df: DataFrame, round_no: int) -> str:
-        """Write one table version (not yet visible to readers)."""
-        path = self._table_dir(table, round_no)
+    def _write(self, table: str, df: DataFrame, version: int) -> None:
+        path = self._dir(table, version)
         if os.path.exists(path):
             shutil.rmtree(path)  # orphan from a killed run
         df.write.mode("overwrite").parquet(path)
-        return path
 
-    def commit(self, round_no: int, tables: Dict[str, int], extra: dict | None = None) -> None:
-        """Atomically publish {table: version} as the current state."""
+    def stage_replace(self, table: str, df: DataFrame, round_no: int) -> int:
+        """Write a full new version; commit makes it the only live one.
+        Returns the staged row count (from parquet footers, no job)."""
+        self._write(table, df, round_no)
+        self._pending[table] = [round_no]
+        return parquet_rows(self._dir(table, round_no))
+
+    def stage_append(self, table: str, df: DataFrame, round_no: int) -> int:
+        """Write only this round's delta; readers union all versions.
+        Returns the delta row count (from parquet footers, no job)."""
+        self._write(table, df, round_no)
+        self._pending[table] = self._committed_versions(table) + [round_no]
+        return parquet_rows(self._dir(table, round_no))
+
+    def commit(self, round_no: int, extra: dict | None = None) -> None:
+        """Atomically publish all staged tables as the current state."""
+        m = self.manifest() or {"tables": {}}
+        tables = dict(m["tables"])
+        tables.update(self._pending)
         manifest = {"round": round_no, "tables": tables}
         if extra:
             manifest.update(extra)
@@ -71,10 +107,11 @@ class CheckpointStore:
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, self._manifest_path)
+        self._pending = {}
 
     def read(self, spark: SparkSession, table: str) -> Optional[DataFrame]:
-        """Read a table at its last committed version (None if absent)."""
-        m = self.manifest()
-        if m is None or table not in m["tables"]:
+        """Read a table at its last committed state (None if absent)."""
+        versions = self._committed_versions(table)
+        if not versions:
             return None
-        return spark.read.parquet(self._table_dir(table, m["tables"][table]))
+        return spark.read.parquet(*[self._dir(table, v) for v in versions])

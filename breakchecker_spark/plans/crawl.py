@@ -31,9 +31,20 @@ URL-seen *set* per depth matches the reference exactly.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 from dataclasses import dataclass, field
 from typing import Optional
+
+_DEBUG_TIMING = os.environ.get("SPARK_GRAFT_DEBUG_TIMING", "") == "1"
+
+
+def _tlog(label: str, t0: float) -> float:
+    now = time.time()
+    if _DEBUG_TIMING:
+        print(f"TIMING {label}: {now - t0:.2f}s", file=sys.stderr)
+    return now
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -86,19 +97,13 @@ def _fetch_key(url_col):
 
 
 def _dedup_frontier(frontier: DataFrame) -> DataFrame:
-    """One row per URL (min depth), then one URL per struct key.
+    """One representative URL per struct key, pinned to min (depth, url).
 
-    URL-level dedup mirrors the reference's ``_queued`` guard
-    (bc:1417-1420); struct-key dedup mirrors the dequeue guard with the
-    pinned (depth, url) order.
+    A single groupBy subsumes the reference's URL-level ``_queued``
+    guard (bc:1417-1420): identical URLs share a struct key, so the
+    min-(depth, url) pick keeps exactly one row — one shuffle, not two.
     """
-    by_url = frontier.groupBy("url").agg(
-        F.min("depth").alias("depth"),
-        F.first("host").alias("host"),
-        F.first("struct_key").alias("struct_key"),
-        F.first("key_hash").alias("key_hash"),
-    )
-    best = by_url.groupBy("struct_key").agg(
+    best = frontier.groupBy("struct_key").agg(
         F.min_by(
             F.struct("url", "depth", "host", "key_hash"), F.struct("depth", "url")
         ).alias("b")
@@ -148,11 +153,13 @@ def run_crawl(
     )
 
     start_round = 0
+    bloom_table = None
     if resume and store is not None and store.manifest() is not None:
         frontier = store.read(spark, "frontier")
         url_seen = store.read(spark, "url_seen")
         all_contacts = store.read(spark, "contacts")
         metrics = store.read(spark, "metrics")
+        bloom_table = store.read(spark, "bloom") if config.use_bloom else None
         start_round = store.last_round() + 1
     else:
         frontier = _dedup_frontier(seeds_to_frontier(seeds))
@@ -162,19 +169,17 @@ def run_crawl(
 
     pages_slim = pages.select("url", "html", "text")
     rounds_run = start_round
+    frontier_rows = -1  # unknown → check lazily
+    if resume and store is not None and store.manifest() is not None:
+        frontier_rows = store.manifest().get("frontier_rows", -1)
 
     for round_no in range(start_round, config.max_rounds):
-        if frontier.isEmpty():
+        if frontier_rows == 0 or (frontier_rows < 0 and frontier.isEmpty()):
             break
         rounds_run = round_no + 1
         t0 = time.time()
 
         # 1. dequeue-time seen re-check (bloom prefilter + exact anti-join)
-        bloom_table = None
-        if config.use_bloom and not url_seen.isEmpty():
-            bloom_table = seen.build_bloom(
-                url_seen, config.bloom_parts, config.bloom_expected_per_part
-            )
         live = seen.filter_new(frontier, url_seen, bloom_table, config.bloom_parts)
         live = _dedup_frontier(live)
 
@@ -193,7 +198,7 @@ def run_crawl(
         ).select("url", "depth", "html", "text")
 
         # 5. extract + expand
-        link_cands, round_contacts, drop_metrics = extract.process_pages(
+        link_cands, round_contacts, drop_metrics, caches = extract.process_pages(
             fetched, config.scope_host, config.default_region, config.org_domain
         )
         candidates = link_cands.filter(F.col("depth") <= config.max_depth)
@@ -202,61 +207,113 @@ def run_crawl(
         )
         # enqueue-time checks: not seen, not already queued (deferred)
         candidates = seen.filter_new(candidates, url_seen_next, None)
-        candidates = candidates.join(
-            deferred.select("url"), "url", "left_anti"
-        )
-        frontier_next = _dedup_frontier(
-            deferred.unionByName(candidates.select(*deferred.columns))
-        )
-
-        # 6. metrics + atomic commit (also truncates lineage via read-back)
-        n_eligible = eligible.count()
-        n_contacts = round_contacts.count()
-        round_metrics = spark.createDataFrame(
-            [
-                (config.run_id, round_no, "frontier_urls", n_eligible),
-                (config.run_id, round_no, "contacts_extracted", n_contacts),
-                (
-                    config.run_id,
-                    round_no,
-                    "round_millis",
-                    int((time.time() - t0) * 1000),
-                ),
-            ],
-            schema=empty_metrics.schema,
-        ).unionByName(
-            drop_metrics.select(
-                F.lit(config.run_id).alias("run_id"),
-                F.lit(round_no).alias("round"),
-                "metric",
-                F.col("value").cast("long"),
+        if config.host_budget is None:
+            # no deferrals possible — skip the anti-join and the union
+            frontier_next = _dedup_frontier(candidates.select(*deferred.columns))
+        else:
+            candidates = candidates.join(deferred.select("url"), "url", "left_anti")
+            frontier_next = _dedup_frontier(
+                deferred.unionByName(candidates.select(*deferred.columns))
             )
-        )
-        metrics_next = metrics.unionByName(round_metrics)
-        contacts_next = all_contacts.unionByName(round_contacts)
+
+        # incremental bloom: OR a delta filter over only the new keys
+        # into the running filter — the full seen table is not rescanned
+        bloom_next = None
+        if config.use_bloom:
+            delta = seen.build_bloom(
+                new_seen, config.bloom_parts, config.bloom_expected_per_part
+            )
+            bloom_next = (
+                delta if bloom_table is None else seen.merge_bloom(bloom_table, delta)
+            )
+
+        # 6. stage + atomic commit (also truncates lineage via read-back).
+        # Row counts come from the staged parquet footers — no count jobs.
+        tt = _tlog(f"r{round_no} plan", t0)
+
+        def _round_metrics(n_eligible: int, n_contacts: int) -> DataFrame:
+            return spark.createDataFrame(
+                [
+                    (config.run_id, round_no, "frontier_urls", n_eligible),
+                    (config.run_id, round_no, "contacts_extracted", n_contacts),
+                    (
+                        config.run_id,
+                        round_no,
+                        "round_millis",
+                        int((time.time() - t0) * 1000),
+                    ),
+                ],
+                schema=empty_metrics.schema,
+            ).unionByName(
+                drop_metrics.select(
+                    F.lit(config.run_id).alias("run_id"),
+                    F.lit(round_no).alias("round"),
+                    "metric",
+                    F.col("value").cast("long"),
+                )
+            )
 
         if store is not None:
-            versions = {}
-            for name, df in [
-                ("frontier", frontier_next),
-                ("url_seen", url_seen_next),
-                ("contacts", contacts_next),
-                ("metrics", metrics_next),
-            ]:
-                store.stage(name, df, round_no)
-                versions[name] = round_no
-            store.commit(round_no, versions, {"run_id": config.run_id})
+            # Stage contacts first: it materializes every shared cache
+            # (eligible, harvested pages, contact rows). The remaining
+            # tables then read caches only, so they stage concurrently
+            # (separate driver threads → overlapping Spark jobs).
+            n_contacts = store.stage_append("contacts", round_contacts, round_no)
+            tt = _tlog(f"r{round_no} stage contacts n={n_contacts}", tt)
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                f_seen = pool.submit(
+                    store.stage_append, "url_seen", new_seen, round_no
+                )
+                f_frontier = pool.submit(
+                    store.stage_replace, "frontier", frontier_next, round_no
+                )
+                f_bloom = (
+                    pool.submit(store.stage_replace, "bloom", bloom_next, round_no)
+                    if bloom_next is not None
+                    else None
+                )
+                n_eligible = f_seen.result()
+                frontier_rows = f_frontier.result()
+                if f_bloom is not None:
+                    f_bloom.result()
+            tt = _tlog(
+                f"r{round_no} stage seen={n_eligible} frontier={frontier_rows} bloom",
+                tt,
+            )
+            store.stage_append(
+                "metrics", _round_metrics(n_eligible, n_contacts), round_no
+            )
+            tt = _tlog(f"r{round_no} stage metrics", tt)
+            store.commit(
+                round_no, {"run_id": config.run_id, "frontier_rows": frontier_rows}
+            )
             frontier = store.read(spark, "frontier")
             url_seen = store.read(spark, "url_seen")
             all_contacts = store.read(spark, "contacts")
             metrics = store.read(spark, "metrics")
+            if bloom_next is not None:
+                bloom_table = store.read(spark, "bloom")
         else:
             # keep lineage bounded without a store
+            n_eligible = eligible.count()
+            n_contacts = round_contacts.count()
             frontier = frontier_next.localCheckpoint(eager=True)
+            frontier_rows = -1
             url_seen = url_seen_next.localCheckpoint(eager=True)
-            all_contacts = contacts_next.localCheckpoint(eager=True)
-            metrics = metrics_next.localCheckpoint(eager=True)
+            all_contacts = all_contacts.unionByName(round_contacts).localCheckpoint(
+                eager=True
+            )
+            metrics = metrics.unionByName(
+                _round_metrics(n_eligible, n_contacts)
+            ).localCheckpoint(eager=True)
+            if bloom_next is not None:
+                bloom_table = bloom_next.localCheckpoint(eager=True)
         eligible.unpersist()
+        for df in caches:
+            df.unpersist()
 
     deduped = extract.dedup_contacts(all_contacts)
     summary = {
