@@ -98,6 +98,10 @@ def main() -> None:
         extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "24g")},
     )
 
+    # crawl first: it is the headline metric and sensitive to JVM state
+    crawl = run_crawl_bench(spark, n_pages, tmp_root)
+    spark.catalog.clearCache()
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
@@ -105,8 +109,6 @@ def main() -> None:
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
-
-    crawl = run_crawl_bench(spark, n_pages, tmp_root)
     times["crawl_replay"] = crawl["crawl_seconds"]
 
     total = round(sum(times.values()), 2)

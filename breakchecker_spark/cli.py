@@ -1,0 +1,95 @@
+"""spark-submit entry point — the E1 CLI lifecycle (SURVEY.md §3).
+
+    spark-submit --py-files breakchecker_spark.zip -m breakchecker_spark.cli \
+        --domain example.com --pages /data/pages --seeds /data/seeds \
+        --depth 2 --budget 100 --checkpoint /ckpt/run1 --output report.json
+
+Mirrors the reference CLI (`python break_checker.py example.com -d 2
+--json`, /root/reference/break_checker.py:1849-1928): validate domain
+→ assemble seeds → liveness → crawl → breach match → report sink.
+Replay-mode inputs are tables; ``--resume`` continues a killed run
+from its last committed round.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="breakchecker-spark", description=__doc__)
+    p.add_argument("--domain", required=True, help="scan-scope apex domain")
+    p.add_argument("--pages", required=True, help="parquet/iceberg pages table path")
+    p.add_argument("--seeds", help="parquet seeds table (host[,scheme]); default: apex only")
+    p.add_argument("--robots", help="parquet robots table (host, disallow_prefix, crawl_delay)")
+    p.add_argument("--breach-db", help="parquet breach table (identifier, breach)")
+    p.add_argument("-d", "--depth", type=int, default=3)
+    p.add_argument("--budget", type=int, default=None, help="max URLs per host per round")
+    p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--checkpoint", help="checkpoint dir (enables exact resume)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--output", default=None, help="report file path")
+    p.add_argument("--fmt", choices=["json", "csv", "md"], default="json")
+    p.add_argument("--contacts-sink", help="executor-side parquet sink for full contacts")
+    p.add_argument("--master", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .operators import breach as breach_op
+    from .plans import report as report_mod
+    from .plans.crawl import CrawlConfig, run_crawl
+    from .session import get_spark
+    from .sources import seeds as seeds_mod
+
+    domain = seeds_mod.validate_domain(args.domain)
+    spark = get_spark(app_name=f"breakchecker:{domain}", master=args.master)
+
+    pages = spark.read.parquet(args.pages)
+    if args.seeds:
+        raw_seeds = spark.read.parquet(args.seeds)
+        if "scheme" not in raw_seeds.columns:
+            raw_seeds = seeds_mod.live_hosts(
+                seeds_mod.union_seed_sources(spark, [raw_seeds], domain), pages
+            )
+    else:
+        raw_seeds = seeds_mod.live_hosts(
+            seeds_mod.union_seed_sources(spark, [], domain), pages
+        )
+    robots = spark.read.parquet(args.robots) if args.robots else None
+
+    cfg = CrawlConfig(
+        scope_host=domain,
+        max_depth=args.depth,
+        host_budget=args.budget,
+        use_bloom=not args.no_bloom,
+        checkpoint_dir=args.checkpoint,
+    )
+    result = run_crawl(spark, raw_seeds, pages, cfg, robots=robots, resume=args.resume)
+
+    contacts = result.contacts
+    if args.breach_db:
+        db = spark.read.parquet(args.breach_db)
+        contacts = breach_op.match_breaches(contacts, db)
+    else:
+        from pyspark.sql import functions as F
+
+        contacts = contacts.withColumn("breaches", F.array().cast("array<string>"))
+
+    if args.contacts_sink:
+        report_mod.write_contacts_sink(contacts, args.contacts_sink)
+
+    rep = report_mod.build_report(domain, result.url_seen, contacts, result.metrics)
+    if args.output:
+        report_mod.save(rep, args.output, args.fmt)
+        print(f"report written: {args.output}")
+    else:
+        print(report_mod.to_json(rep))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

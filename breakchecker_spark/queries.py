@@ -306,14 +306,20 @@ def doc_fingerprints(spark, sf_dir):
 
 
 def dedup_jaccard_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # single-file parquet → one input task; spread the shingle/hash
+    # compute across cores before the explode
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return dedup.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).orderBy(
         "id_a", "id_b"
     )
 
 
 def minhash_signatures(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sig = dedup.minhash_signature(F.col("text"), num_hashes=4, k=3)
     return docs.select(
         "doc_id",
