@@ -82,6 +82,27 @@ def skip_by_path(url: str) -> bool:
     return False
 
 
+def is_probably_html(content_type: Optional[str]) -> bool:
+    """True for text/html or application/xhtml+xml (charset ignored).
+
+    Reference break_checker.py:447-460. In pure replay the pages table
+    is HTML by construction; this predicate applies when the table
+    models response headers (F3).
+    """
+    if not content_type:
+        return False
+    base = content_type.lower().split(";", 1)[0].strip()
+    return base in ("text/html", "application/xhtml+xml")
+
+
+def is_attachment(content_disposition: Optional[str]) -> bool:
+    """True when a Content-Disposition header marks a download (F4).
+
+    Reference break_checker.py:783-785.
+    """
+    return bool(content_disposition) and "attachment" in content_disposition.lower()
+
+
 def canonicalize(base_url: str, link: str, scope_host: str) -> Optional[str]:
     """Resolve ``link`` against ``base_url`` and normalize to canonical form.
 

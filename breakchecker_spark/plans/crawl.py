@@ -137,9 +137,16 @@ def run_crawl(
     pages: DataFrame,
     config: CrawlConfig,
     robots: DataFrame | None = None,
+    dead_hosts: DataFrame | None = None,
     resume: bool = False,
 ) -> CrawlResult:
-    """Run (or resume) the BFS crawl; returns final state DataFrames."""
+    """Run (or resume) the BFS crawl; returns final state DataFrames.
+
+    ``dead_hosts`` (host string) models the reference's two-strikes
+    dead-host set (break_checker.py:566-568, 803-806): frontier rows on
+    those hosts are skipped before the fetch join (broadcast anti-join)
+    — in replay, fetch failures only exist if the caller supplies them.
+    """
     store = CheckpointStore(config.checkpoint_dir) if config.checkpoint_dir else None
 
     empty_seen = spark.createDataFrame(
@@ -183,8 +190,13 @@ def run_crawl(
         live = seen.filter_new(frontier, url_seen, bloom_table, config.bloom_parts)
         live = _dedup_frontier(live)
 
-        # 2. robots gate (dropped, not deferred) + per-host budget
+        # 2. robots gate (dropped, not deferred) + dead-host skip +
+        #    per-host budget
         live = politeness.apply_robots(live, robots)
+        if dead_hosts is not None:
+            live = live.join(
+                F.broadcast(dead_hosts.select("host")), "host", "left_anti"
+            )
         eligible, deferred = politeness.host_budget_split(live, config.host_budget)
         eligible = eligible.cache()
 

@@ -1,0 +1,56 @@
+"""Parity extras: content-type/attachment predicates, dead-host gating."""
+
+import pytest
+
+from breakchecker_spark import schemas
+from breakchecker_spark.functions import urlnorm
+from breakchecker_spark.plans.crawl import CrawlConfig, run_crawl
+from tests import fixture_web
+
+
+@pytest.mark.parametrize(
+    "ct,expected",
+    [
+        ("text/html", True),
+        ("text/html; charset=utf-8", True),
+        ("application/xhtml+xml", True),
+        ("TEXT/HTML", True),
+        ("application/json", False),
+        ("text/plain", False),
+        ("", False),
+        (None, False),
+    ],
+)
+def test_is_probably_html(ct, expected):
+    assert urlnorm.is_probably_html(ct) is expected
+
+
+@pytest.mark.parametrize(
+    "cd,expected",
+    [
+        ("attachment; filename=x.pdf", True),
+        ("ATTACHMENT", True),
+        ("inline", False),
+        (None, False),
+        ("", False),
+    ],
+)
+def test_is_attachment(cd, expected):
+    assert urlnorm.is_attachment(cd) is expected
+
+
+def test_dead_host_gate(spark):
+    pages = spark.createDataFrame(fixture_web.pages_rows(), schema=schemas.PAGES)
+    seeds = spark.createDataFrame(fixture_web.SEEDS, schema=schemas.SEEDS)
+    dead = spark.createDataFrame([("shop.example.com",)], "host string")
+    cfg = CrawlConfig(scope_host=fixture_web.SCOPE, max_depth=3, use_bloom=False)
+    res = run_crawl(spark, seeds, pages, cfg, dead_hosts=dead)
+    hosts = {
+        r["url"].split("://")[1].split("/")[0]
+        for r in res.url_seen.select("url").collect()
+    }
+    assert "shop.example.com" not in hosts
+    ids = {r["identifier"] for r in res.contacts.collect()}
+    assert "orders@example.com" not in ids  # lives on the dead host
+    assert "cart-help@example.com" not in ids
+    assert "info@example.com" in ids  # rest of the crawl unaffected
