@@ -21,10 +21,16 @@ from typing import List, Optional, Tuple
 
 
 class _Harvester(HTMLParser):
-    """Single-pass collector for hrefs, script srcs, and text nodes."""
+    """Single-pass collector for hrefs, script srcs, and text nodes.
 
-    def __init__(self) -> None:
+    ``collect_text=False`` skips text-node accumulation — the crawl hot
+    path reads visible text from the pages table's authoritative
+    ``text`` column, so the UDF only needs hrefs/srcs.
+    """
+
+    def __init__(self, collect_text: bool = True) -> None:
         super().__init__(convert_charrefs=True)
+        self._collect_text = collect_text
         self.hrefs: List[str] = []
         self.script_srcs: List[str] = []
         self.text_nodes: List[str] = []
@@ -34,16 +40,18 @@ class _Harvester(HTMLParser):
         self.anchors_with_text: List[Tuple[str, str]] = []
 
     def handle_starttag(self, tag, attrs):
-        attrs = dict(attrs)
         if tag == "a":
-            href = attrs.get("href")
-            if href is not None:
-                self.hrefs.append(href)
-                self._open_anchor = (href, [])
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self.hrefs.append(value)
+                    if self._collect_text:
+                        self._open_anchor = (value, [])
+                    break
         elif tag == "script":
-            src = attrs.get("src")
-            if src is not None:
-                self.script_srcs.append(src)
+            for name, value in attrs:
+                if name == "src" and value is not None:
+                    self.script_srcs.append(value)
+                    break
 
     def handle_endtag(self, tag):
         if tag == "a" and self._open_anchor is not None:
@@ -52,15 +60,15 @@ class _Harvester(HTMLParser):
             self._open_anchor = None
 
     def handle_data(self, data):
-        if data:
+        if data and self._collect_text:
             self.text_nodes.append(data)
             if self._open_anchor is not None:
                 self._open_anchor[1].append(data)
 
 
-def harvest(html_doc: str) -> _Harvester:
+def harvest(html_doc: str, collect_text: bool = True) -> _Harvester:
     """Parse once; return the populated harvester (errors swallowed)."""
-    h = _Harvester()
+    h = _Harvester(collect_text=collect_text)
     try:
         h.feed(html_doc)
         h.close()

@@ -33,15 +33,30 @@ def decode_escapes(s: str) -> str:
     return _HEX_ESC.sub(lambda m: chr(int(m.group(1), 16)), s)
 
 
+# ASCII fast path: the only ASCII category-C characters are the C0
+# controls (0x00-0x1F, minus kept whitespace) and DEL; NFKC is the
+# identity on ASCII, so a translate table reproduces the slow path
+# byte-for-byte (parity asserted in tests/test_reference_parity.py).
+_ASCII_C_DELETE = {i: None for i in range(0x20) if chr(i) not in _KEEP_CONTROL}
+_ASCII_C_DELETE[0x7F] = None
+
+
 def norm_text(s: str) -> str:
     """HTML-unescape → decode escapes → NFKC → drop category-C chars.
 
     Control/format characters are removed except ``\\n \\r \\t``; this is
     the normal form every extraction regex runs over, and the definition
     of "extracted text" for the byte-identical-per-url invariant
-    (reference break_checker.py:1066-1086).
+    (reference break_checker.py:1066-1086). Pure-ASCII inputs (the
+    common case on web text) take a translate-table fast path with
+    identical output.
     """
-    s = decode_escapes(_html.unescape(s))
+    if "&" in s:  # html.unescape is identity otherwise
+        s = _html.unescape(s)
+    if "\\u" in s or "\\x" in s:  # escape regexes can't match otherwise
+        s = decode_escapes(s)
+    if s.isascii():
+        return s.translate(_ASCII_C_DELETE)
     s = unicodedata.normalize("NFKC", s)
     return "".join(
         ch for ch in s if unicodedata.category(ch)[0] != "C" or ch in _KEEP_CONTROL

@@ -61,10 +61,12 @@ def harvest_page(html_bytes: pd.Series) -> pd.DataFrame:
             continue
         if isinstance(doc, (bytes, bytearray)):
             doc = bytes(doc).decode("utf-8", errors="replace")
-        h = htmlx.harvest(doc)
+        # text nodes are not collected: the pages table's `text` column
+        # is authoritative for visible text (input_hint invariant)
+        h = htmlx.harvest(doc, collect_text=False)
         hrefs.append(h.hrefs)
         srcs.append(h.script_srcs)
-        texts.append(" ".join(h.text_nodes))
+        texts.append("")
         page_mailtos: List[str] = []
         page_tels: List[str] = []
         for href in h.hrefs:
