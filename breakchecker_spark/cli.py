@@ -19,6 +19,12 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="breakchecker-spark", description=__doc__)
+    p.add_argument(
+        "--config",
+        help="JSON config file supplying defaults for any flag "
+        "(reference S1 config.json, break_checker.py:158-174); "
+        "explicit flags win",
+    )
     p.add_argument("--domain", required=True, help="scan-scope apex domain")
     p.add_argument("--pages", required=True, help="parquet/iceberg pages table path")
     p.add_argument("--seeds", help="parquet seeds table (host[,scheme]); default: apex only")
@@ -37,7 +43,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.config:
+        import json
+
+        with open(args.config) as fh:
+            defaults = json.load(fh)
+        unknown = set(defaults) - {a.dest for a in parser._actions}
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        parser.set_defaults(**defaults)
+        args = parser.parse_args(argv)  # flags still win over config
 
     from .operators import breach as breach_op
     from .plans import report as report_mod
