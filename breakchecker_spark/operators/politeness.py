@@ -53,29 +53,77 @@ def host_budget_split(
     frontier: DataFrame,
     budget: int | None,
     n_salts: int = 16,
+    host_budgets: DataFrame | None = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """(eligible, deferred): at most ``budget`` URLs per host this round.
 
     Order within a host is (depth, url) — the deterministic analog of
     the reference's sorted enqueue order (break_checker.py:1403, 1416).
     ``budget=None`` means unlimited (reference parity mode).
+    ``host_budgets`` (host, budget) overrides the flat budget per host —
+    derived from robots crawl_delay (see :func:`crawl_delay_budgets`).
     """
-    if budget is None:
+    if budget is None and host_budgets is None:
         return frontier, frontier.limit(0)
 
     salted = frontier.withColumn(
         "_salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)).cast("int")
     )
+    if host_budgets is not None:
+        salted = salted.join(
+            F.broadcast(host_budgets.select("host", F.col("budget").alias("_b"))),
+            "host",
+            "left",
+        ).withColumn(
+            "_b",
+            F.coalesce(
+                F.col("_b"),
+                F.lit(budget).cast("int") if budget is not None else F.lit(None),
+            ),
+        )
+    else:
+        salted = salted.withColumn("_b", F.lit(budget).cast("int"))
+    # null budget (no robots row, no flat default) = unlimited host
+    limit = F.coalesce(F.col("_b"), F.lit(2**31 - 1))
+
     pre = Window.partitionBy("host", "_salt").orderBy("depth", "url")
     salted = salted.withColumn("_pre_rank", F.row_number().over(pre))
-    survivors = salted.filter(F.col("_pre_rank") <= budget)
-    spilled = salted.filter(F.col("_pre_rank") > budget)
+    survivors = salted.filter(F.col("_pre_rank") <= limit)
+    spilled = salted.filter(F.col("_pre_rank") > limit)
 
     exact = Window.partitionBy("host").orderBy("depth", "url")
     ranked = survivors.withColumn("_rank", F.row_number().over(exact))
-    eligible = ranked.filter(F.col("_rank") <= budget).drop("_salt", "_pre_rank", "_rank")
-    deferred_from_exact = ranked.filter(F.col("_rank") > budget).drop(
-        "_salt", "_pre_rank", "_rank"
-    )
-    deferred = deferred_from_exact.unionByName(spilled.drop("_salt", "_pre_rank"))
+    helper_cols = ("_salt", "_pre_rank", "_rank", "_b")
+    eligible = ranked.filter(F.col("_rank") <= limit).drop(*helper_cols)
+    deferred_from_exact = ranked.filter(F.col("_rank") > limit).drop(*helper_cols)
+    deferred = deferred_from_exact.unionByName(spilled.drop("_salt", "_pre_rank", "_b"))
     return eligible, deferred
+
+
+def crawl_delay_budgets(
+    robots: DataFrame, round_seconds: float, max_budget: int = 10_000
+) -> DataFrame:
+    """(host, budget) from robots crawl_delay (FIXTURES.md §3).
+
+    Model: one crawl round represents ``round_seconds`` of polite
+    wall-clock per host, so a host allowing one fetch per
+    ``crawl_delay`` seconds gets ``max(1, floor(round_seconds /
+    crawl_delay))`` URLs per round. Hosts without a delay row fall back
+    to the flat budget in :func:`host_budget_split`.
+    """
+    return (
+        robots.filter(F.col("crawl_delay").isNotNull())
+        .groupBy("host")
+        .agg(F.max("crawl_delay").alias("_delay"))
+        .select(
+            "host",
+            F.least(
+                F.greatest(
+                    F.floor(F.lit(round_seconds) / F.col("_delay")), F.lit(1)
+                ),
+                F.lit(max_budget),
+            )
+            .cast("int")
+            .alias("budget"),
+        )
+    )

@@ -59,6 +59,10 @@ class CrawlConfig:
     scope_host: str
     max_depth: int = 3
     host_budget: Optional[int] = None  # None = unlimited (reference parity)
+    # when set (and robots carries crawl_delay), each round models this
+    # many seconds of polite per-host wall clock: budget_host =
+    # floor(round_seconds / crawl_delay) — politeness.crawl_delay_budgets
+    round_seconds: Optional[float] = None
     use_bloom: bool = True
     bloom_parts: int = 32
     bloom_expected_per_part: int = 100_000
@@ -174,6 +178,10 @@ def run_crawl(
         all_contacts = empty_contacts
         metrics = empty_metrics
 
+    host_budgets = None
+    if robots is not None and config.round_seconds is not None:
+        host_budgets = politeness.crawl_delay_budgets(robots, config.round_seconds)
+
     pages_slim = pages.select("url", "html", "text")
     rounds_run = start_round
     frontier_rows = -1  # unknown → check lazily
@@ -197,7 +205,9 @@ def run_crawl(
             live = live.join(
                 F.broadcast(dead_hosts.select("host")), "host", "left_anti"
             )
-        eligible, deferred = politeness.host_budget_split(live, config.host_budget)
+        eligible, deferred = politeness.host_budget_split(
+            live, config.host_budget, host_budgets=host_budgets
+        )
         eligible = eligible.cache()
 
         # 3. mark visited BEFORE the fetch join (bc:1344-1346)
@@ -219,7 +229,7 @@ def run_crawl(
         )
         # enqueue-time checks: not seen, not already queued (deferred)
         candidates = seen.filter_new(candidates, url_seen_next, None)
-        if config.host_budget is None:
+        if config.host_budget is None and host_budgets is None:
             # no deferrals possible — skip the anti-join and the union
             frontier_next = _dedup_frontier(candidates.select(*deferred.columns))
         else:

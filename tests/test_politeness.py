@@ -69,3 +69,69 @@ def test_budget_larger_than_host(spark, skewed_frontier):
         for r in eligible.groupBy("host").agg(F.count("*").alias("n")).collect()
     }
     assert counts["a.x"] == 10 and counts["b.x"] == 10 and counts["mega.x"] == 100
+
+
+def test_crawl_delay_budgets(spark):
+    robots = spark.createDataFrame(
+        [("slow.x", "/", 30.0), ("slow.x", "/p", 10.0), ("fast.x", "/", 0.5),
+         ("nodelay.x", "/", None)],
+        "host string, disallow_prefix string, crawl_delay double",
+    )
+    budgets = {
+        r["host"]: r["budget"]
+        for r in politeness.crawl_delay_budgets(robots, round_seconds=60.0).collect()
+    }
+    # max delay per host wins; floor(60/30)=2, floor(60/0.5)=120
+    assert budgets == {"slow.x": 2, "fast.x": 120}
+
+
+def test_variable_budget_split(spark, skewed_frontier):
+    budgets = spark.createDataFrame([("mega.x", 5), ("a.x", 2)], "host string, budget int")
+    eligible, deferred = politeness.host_budget_split(
+        skewed_frontier, budget=None, host_budgets=budgets
+    )
+    counts = {
+        r["host"]: r["n"]
+        for r in eligible.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    # unlisted host (b.x) is unlimited when flat budget is None
+    assert counts == {"mega.x": 5, "a.x": 2, "b.x": 10}
+    assert eligible.count() + deferred.count() == skewed_frontier.count()
+
+
+def test_variable_budget_with_flat_fallback(spark, skewed_frontier):
+    budgets = spark.createDataFrame([("mega.x", 5)], "host string, budget int")
+    eligible, _ = politeness.host_budget_split(
+        skewed_frontier, budget=4, host_budgets=budgets
+    )
+    counts = {
+        r["host"]: r["n"]
+        for r in eligible.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"mega.x": 5, "a.x": 4, "b.x": 4}
+
+
+def test_crawl_with_round_seconds(spark):
+    from breakchecker_spark import schemas
+    from breakchecker_spark.plans.crawl import CrawlConfig, run_crawl
+    from tests import fixture_web
+
+    pages = spark.createDataFrame(fixture_web.pages_rows(), schema=schemas.PAGES)
+    seeds = spark.createDataFrame(fixture_web.SEEDS, schema=schemas.SEEDS)
+    robots = spark.createDataFrame(
+        [("example.com", "/never-matches", 30.0)], schema=schemas.ROBOTS
+    )
+    cfg = CrawlConfig(
+        scope_host=fixture_web.SCOPE, max_depth=3, use_bloom=False, round_seconds=30.0
+    )
+    res = run_crawl(spark, seeds, pages, cfg, robots=robots)
+    # budget floor(30/30)=1 for example.com → more rounds than depth+1,
+    # but the final visited set equals the unbudgeted crawl
+    full = run_crawl(
+        spark, seeds, pages,
+        CrawlConfig(scope_host=fixture_web.SCOPE, max_depth=3, use_bloom=False),
+    )
+    got = {(r["url"], r["depth"]) for r in res.url_seen.collect()}
+    want = {(r["url"], r["depth"]) for r in full.url_seen.collect()}
+    assert got == want
+    assert res.rounds > full.rounds
