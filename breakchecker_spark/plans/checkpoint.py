@@ -52,6 +52,13 @@ class CheckpointStore:
 
     # ------------------------------------------------------------ state
 
+    def reset(self) -> None:
+        """Drop all committed state (fresh-run semantics on a dirty dir)."""
+        if os.path.exists(self.root):
+            shutil.rmtree(self.root)
+        os.makedirs(self.root, exist_ok=True)
+        self._pending = {}
+
     def manifest(self) -> Optional[dict]:
         """Last committed state, or None for a fresh store."""
         if not os.path.exists(self._manifest_path):

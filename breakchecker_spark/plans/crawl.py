@@ -173,6 +173,10 @@ def run_crawl(
         bloom_table = store.read(spark, "bloom") if config.use_bloom else None
         start_round = store.last_round() + 1
     else:
+        if store is not None and store.manifest() is not None:
+            # fresh run over a dirty checkpoint dir: drop the old state,
+            # or the append-table manifest would leak prior-run versions
+            store.reset()
         frontier = _dedup_frontier(seeds_to_frontier(seeds))
         url_seen = empty_seen
         all_contacts = empty_contacts

@@ -54,3 +54,21 @@ def test_dead_host_gate(spark):
     assert "orders@example.com" not in ids  # lives on the dead host
     assert "cart-help@example.com" not in ids
     assert "info@example.com" in ids  # rest of the crawl unaffected
+
+
+def test_fresh_run_on_dirty_checkpoint_resets(spark, tmp_path):
+    """A non-resume run over an existing checkpoint dir must not inherit
+    the prior run's append-table versions."""
+    pages = spark.createDataFrame(fixture_web.pages_rows(), schema=schemas.PAGES)
+    seeds = spark.createDataFrame(fixture_web.SEEDS, schema=schemas.SEEDS)
+    ck = str(tmp_path / "dirty")
+    base = dict(scope_host=fixture_web.SCOPE, max_depth=2, use_bloom=False,
+                checkpoint_dir=ck)
+    first = run_crawl(spark, seeds, pages, CrawlConfig(**base))
+    # materialize before the second run wipes the store — old handles
+    # dangle after a reset (a real Iceberg catalog would keep snapshots)
+    first_endpoints = first.summary["num_endpoints"]
+    first_contacts = first.contacts.count()
+    again = run_crawl(spark, seeds, pages, CrawlConfig(**base))  # fresh, same dir
+    assert again.summary["num_endpoints"] == first_endpoints
+    assert again.contacts.count() == first_contacts
