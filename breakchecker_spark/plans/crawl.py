@@ -37,21 +37,22 @@ import time
 from dataclasses import dataclass, field
 from typing import Optional
 
-_DEBUG_TIMING = os.environ.get("SPARK_GRAFT_DEBUG_TIMING", "") == "1"
-
-
-def _tlog(label: str, t0: float) -> float:
-    now = time.time()
-    if _DEBUG_TIMING:
-        print(f"TIMING {label}: {now - t0:.2f}s", file=sys.stderr)
-    return now
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import contacts as contacts_fn
 from ..functions import udfs
 from ..operators import extract, politeness, seen
 from .checkpoint import CheckpointStore
+
+_DEBUG_TIMING = os.environ.get("SPARK_GRAFT_DEBUG_TIMING", "") == "1"
+
+
+def _tlog(label: str, t0: float) -> float:
+    """Per-phase stderr timing, enabled by SPARK_GRAFT_DEBUG_TIMING=1."""
+    now = time.time()
+    if _DEBUG_TIMING:
+        print(f"TIMING {label}: {now - t0:.2f}s", file=sys.stderr)
+    return now
 
 
 @dataclass
@@ -202,13 +203,8 @@ def run_crawl(
         live = seen.filter_new(frontier, url_seen, bloom_table, config.bloom_parts)
         live = _dedup_frontier(live)
 
-        # 2. robots gate (dropped, not deferred) + dead-host skip +
-        #    per-host budget
+        # 2. robots gate (dropped, not deferred) + per-host budget
         live = politeness.apply_robots(live, robots)
-        if dead_hosts is not None:
-            live = live.join(
-                F.broadcast(dead_hosts.select("host")), "host", "left_anti"
-            )
         eligible, deferred = politeness.host_budget_split(
             live, config.host_budget, host_budgets=host_budgets
         )
@@ -218,8 +214,17 @@ def run_crawl(
         new_seen = eligible.select("key_hash", "struct_key", "url", "depth")
         url_seen_next = url_seen.unionByName(new_seen)
 
-        # 4. fetch = left join against the pages table
-        fetched = eligible.withColumn("_fk", _fetch_key(F.col("url"))).join(
+        # 4. fetch = left join against the pages table. Dead hosts are
+        # suppressed at the fetch, not the frontier — the reference
+        # marks the URL visited and then fails the fetch (bc:1344-1346,
+        # 766-768), so dead-host URLs count as endpoints but yield
+        # nothing and expand nothing.
+        fetch_input = eligible
+        if dead_hosts is not None:
+            fetch_input = fetch_input.join(
+                F.broadcast(dead_hosts.select("host")), "host", "left_anti"
+            )
+        fetched = fetch_input.withColumn("_fk", _fetch_key(F.col("url"))).join(
             pages_slim.withColumnRenamed("url", "_fk"), "_fk", "left"
         ).select("url", "depth", "html", "text")
 

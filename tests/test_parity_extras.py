@@ -45,11 +45,12 @@ def test_dead_host_gate(spark):
     dead = spark.createDataFrame([("shop.example.com",)], "host string")
     cfg = CrawlConfig(scope_host=fixture_web.SCOPE, max_depth=3, use_bloom=False)
     res = run_crawl(spark, seeds, pages, cfg, dead_hosts=dead)
-    hosts = {
-        r["url"].split("://")[1].split("/")[0]
-        for r in res.url_seen.select("url").collect()
-    }
-    assert "shop.example.com" not in hosts
+    urls = {r["url"] for r in res.url_seen.select("url").collect()}
+    # the linked shop root is visited (reference marks visited, then the
+    # fetch fails, bc:1344-1346 + 766-768) …
+    assert "https://shop.example.com/" in urls
+    # … but yields no content: nothing extracted, no /cart expansion
+    assert not any("/cart" in u for u in urls)
     ids = {r["identifier"] for r in res.contacts.collect()}
     assert "orders@example.com" not in ids  # lives on the dead host
     assert "cart-help@example.com" not in ids
