@@ -228,6 +228,19 @@ def run_crawl(
             pages_slim.withColumnRenamed("url", "_fk"), "_fk", "left"
         ).select("url", "depth", "html", "text")
 
+        # incremental bloom: OR a delta filter over only this round's new
+        # keys into the running filter — the full seen table is never
+        # rescanned. Built before candidate filtering so the (much
+        # larger) enqueue-time anti-join is bloom-prefiltered too.
+        bloom_next = None
+        if config.use_bloom:
+            delta = seen.build_bloom(
+                new_seen, config.bloom_parts, config.bloom_expected_per_part
+            )
+            bloom_next = (
+                delta if bloom_table is None else seen.merge_bloom(bloom_table, delta)
+            )
+
         # 5. extract + expand
         link_cands, round_contacts, drop_metrics, caches = extract.process_pages(
             fetched, config.scope_host, config.default_region, config.org_domain
@@ -237,7 +250,9 @@ def run_crawl(
             candidates.withColumn("host", udfs.url_host(F.col("url")))
         )
         # enqueue-time checks: not seen, not already queued (deferred)
-        candidates = seen.filter_new(candidates, url_seen_next, None)
+        candidates = seen.filter_new(
+            candidates, url_seen_next, bloom_next, config.bloom_parts
+        )
         if config.host_budget is None and host_budgets is None:
             # no deferrals possible — skip the anti-join and the union
             frontier_next = _dedup_frontier(candidates.select(*deferred.columns))
@@ -245,17 +260,6 @@ def run_crawl(
             candidates = candidates.join(deferred.select("url"), "url", "left_anti")
             frontier_next = _dedup_frontier(
                 deferred.unionByName(candidates.select(*deferred.columns))
-            )
-
-        # incremental bloom: OR a delta filter over only the new keys
-        # into the running filter — the full seen table is not rescanned
-        bloom_next = None
-        if config.use_bloom:
-            delta = seen.build_bloom(
-                new_seen, config.bloom_parts, config.bloom_expected_per_part
-            )
-            bloom_next = (
-                delta if bloom_table is None else seen.merge_bloom(bloom_table, delta)
             )
 
         # 6. stage + atomic commit (also truncates lineage via read-back).
