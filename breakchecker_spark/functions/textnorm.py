@@ -37,8 +37,17 @@ def decode_escapes(s: str) -> str:
 # controls (0x00-0x1F, minus kept whitespace) and DEL; NFKC is the
 # identity on ASCII, so a translate table reproduces the slow path
 # byte-for-byte (parity asserted in tests/test_reference_parity.py).
-_ASCII_C_DELETE = {i: None for i in range(0x20) if chr(i) not in _KEEP_CONTROL}
-_ASCII_C_DELETE[0x7F] = None
+_ASCII_C_RE = re.compile(
+    "[" + "".join(chr(i) for i in range(0x20) if chr(i) not in _KEEP_CONTROL) + "\x7f]"
+)
+# Non-ASCII runs get the per-char category check; ASCII segments are
+# already control-free after the translate, so filtering cost is
+# proportional to non-ASCII content only.
+_NON_ASCII_RUN = re.compile(r"[^\x00-\x7f]+")
+
+
+def _drop_c_in_run(m: "re.Match[str]") -> str:
+    return "".join(ch for ch in m.group() if unicodedata.category(ch)[0] != "C")
 
 
 def norm_text(s: str) -> str:
@@ -47,20 +56,19 @@ def norm_text(s: str) -> str:
     Control/format characters are removed except ``\\n \\r \\t``; this is
     the normal form every extraction regex runs over, and the definition
     of "extracted text" for the byte-identical-per-url invariant
-    (reference break_checker.py:1066-1086). Pure-ASCII inputs (the
-    common case on web text) take a translate-table fast path with
-    identical output.
+    (reference break_checker.py:1066-1086). ASCII text (and the ASCII
+    segments of mixed text) takes a translate-table fast path with
+    identical output; only non-ASCII runs pay the per-char check.
     """
     if "&" in s:  # html.unescape is identity otherwise
         s = _html.unescape(s)
     if "\\u" in s or "\\x" in s:  # escape regexes can't match otherwise
         s = decode_escapes(s)
     if s.isascii():
-        return s.translate(_ASCII_C_DELETE)
+        return _ASCII_C_RE.sub("", s)
     s = unicodedata.normalize("NFKC", s)
-    return "".join(
-        ch for ch in s if unicodedata.category(ch)[0] != "C" or ch in _KEEP_CONTROL
-    )
+    s = _ASCII_C_RE.sub("", s)
+    return _NON_ASCII_RUN.sub(_drop_c_in_run, s)
 
 
 def strip_edge_punct(s: str) -> str:

@@ -46,7 +46,29 @@ def url_of(i: int) -> str:
     return f"https://{host_of(i)}/p{i}"
 
 
-def _render(i: int, n_pages: int) -> str:
+def _filler(i: int, blocks: int) -> str:
+    """Deterministic realistic markup filler (~700 bytes per block).
+
+    Common-Crawl pages average tens of KB of nested markup; the bench's
+    minimal pages leave the crawl I/O-bound, so the scaling run uses
+    this profile to measure the compute-bound regime a real corpus
+    produces. Pure arithmetic of (i, j) — no RNG state.
+    """
+    out = []
+    for b in range(blocks):
+        words = " ".join(
+            f"word{(i * 37 + b * 131 + j) % 997} lorem ipsum" for j in range(16)
+        )
+        items = "".join(f"<li>item {j} of block {b}</li>" for j in range(6))
+        out.append(
+            f'<div class="s{b % 7}"><h3>Section {b}</h3><p>{words}'
+            f' <a href="#frag{b}">anchor</a> &amp; entity &#x2014;</p>'
+            f"<ul>{items}</ul></div>"
+        )
+    return "".join(out)
+
+
+def _render(i: int, n_pages: int, filler_blocks: int = 0) -> str:
     links = []
     for j in range(BRANCH * i + 1, BRANCH * i + BRANCH + 1):
         if j < n_pages:
@@ -63,6 +85,8 @@ def _render(i: int, n_pages: int) -> str:
         body.append(f"<p>contact user{i}@{ORG} for details</p>")
     if i % 10 in (3, 4):
         body.append(f"<p>call +30 21{i % 100_000_000:08d} now</p>")
+    if filler_blocks:
+        body.append(_filler(i, filler_blocks))
     return (
         f"<html><head><title>page {i}</title></head><body>"
         + "".join(links)
@@ -72,16 +96,20 @@ def _render(i: int, n_pages: int) -> str:
 
 
 def generate_pages(
-    spark: SparkSession, n_pages: int, partitions: int = 32
+    spark: SparkSession, n_pages: int, partitions: int = 32, filler_blocks: int = 0
 ) -> DataFrame:
-    """Distributed generation: spark.range → mapInPandas HTML render."""
+    """Distributed generation: spark.range → mapInPandas HTML render.
+
+    ``filler_blocks`` ≈ 0.7 KB of realistic markup each (0 = minimal
+    bench pages; ~40 ≈ a 30 KB Common-Crawl-like page).
+    """
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from breakchecker_spark.functions import htmlx
 
         for pdf in batches:
             ids = pdf["id"].tolist()
-            htmls = [_render(i, n_pages) for i in ids]
+            htmls = [_render(i, n_pages, filler_blocks) for i in ids]
             yield pd.DataFrame(
                 {
                     "url": [url_of(i) for i in ids],
@@ -98,13 +126,21 @@ def generate_pages(
     )
 
 
-def materialize(spark: SparkSession, n_pages: int, path: str, partitions: int = 32) -> str:
+def materialize(
+    spark: SparkSession,
+    n_pages: int,
+    path: str,
+    partitions: int = 32,
+    filler_blocks: int = 0,
+) -> str:
     """Write the pages table to parquet (idempotent cache)."""
     import os
 
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        generate_pages(spark, n_pages, partitions).write.mode("overwrite").parquet(path)
+        generate_pages(spark, n_pages, partitions, filler_blocks).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 
