@@ -172,6 +172,16 @@ def run_crawl(
         all_contacts = store.read(spark, "contacts")
         metrics = store.read(spark, "metrics")
         bloom_table = store.read(spark, "bloom") if config.use_bloom else None
+        if config.use_bloom and bloom_table is None and url_seen is not None:
+            # Checkpoint was written with use_bloom=False. The round loop
+            # ORs per-round deltas into the running filter, so a None
+            # start would make round-1's delta-only bloom masquerade as
+            # covering the whole resumed url_seen — bloom-negative rows
+            # would skip the exact anti-join and re-crawl seen URLs.
+            # Rebuild once from the full seen set before entering the loop.
+            bloom_table = seen.build_bloom(
+                url_seen, config.bloom_parts, config.bloom_expected_per_part
+            ).localCheckpoint(eager=True)
         start_round = store.last_round() + 1
     else:
         if store is not None and store.manifest() is not None:

@@ -248,7 +248,7 @@ def json_props_extract(spark, sf_dir):
             F.get_json_object("props", "$.k").cast("int").alias("k"),
         )
         .groupBy("event_type")
-        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+        .agg(F.sum("k").cast("long").alias("sum_k"), F.count("*").alias("n"))
         .orderBy("event_type")
     )
 
@@ -280,7 +280,10 @@ def sessionize_events(spark, sf_dir):
     )
     return (
         gapped.groupBy("user_id")
-        .agg((F.sum("new_sess") + 1).alias("n_sessions"), F.count("*").alias("n_events"))
+        .agg(
+            (F.sum("new_sess") + 1).cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
         .orderBy("user_id")
     )
 
@@ -596,7 +599,8 @@ ORACLES: dict[str, str] = {
         WHERE rn = 1 ORDER BY l_orderkey
     """,
     "json_props_extract": """
-        SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                count(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -606,7 +610,7 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY wstart ORDER BY wstart
     """,
     "sessionize_events": """
-        SELECT user_id, sum(new_sess) + 1 AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM (SELECT user_id,
                      CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
                           (PARTITION BY user_id ORDER BY ts, event_id)

@@ -169,6 +169,33 @@ def test_resume_equals_uninterrupted(spark, pages_df, seeds_df, tmp_path):
     assert _engine_contacts(resumed) == _engine_contacts(full)
 
 
+def test_resume_bloom_on_over_bloomless_checkpoint(spark, pages_df, seeds_df, tmp_path):
+    """Resume with use_bloom=True over a checkpoint written with
+    use_bloom=False: the filter must be rebuilt from the full url_seen,
+    or round-1's delta-only bloom would mark resumed-seen URLs as
+    'definitely new' and re-crawl them (ADVICE r1, crawl.py:174)."""
+    ckpt = str(tmp_path / "ckpt_bloomless")
+    base = dict(scope_host=fixture_web.SCOPE, max_depth=3)
+
+    full = run_crawl(
+        spark, seeds_df, pages_df, CrawlConfig(**base, use_bloom=False)
+    )
+
+    cfg_kill = CrawlConfig(**base, use_bloom=False, checkpoint_dir=ckpt, max_rounds=2)
+    run_crawl(spark, seeds_df, pages_df, cfg_kill)
+    cfg_resume = CrawlConfig(
+        **base, use_bloom=True, bloom_parts=4, bloom_expected_per_part=1000,
+        checkpoint_dir=ckpt,
+    )
+    resumed = run_crawl(spark, seeds_df, pages_df, cfg_resume, resume=True)
+
+    assert _engine_visited(resumed) == _engine_visited(full)
+    # no duplicate url_seen rows (re-crawl symptom)
+    n = resumed.url_seen.count()
+    assert n == resumed.url_seen.select("struct_key").distinct().count()
+    assert _engine_contacts(resumed) == _engine_contacts(full)
+
+
 def test_metrics_recorded(spark, pages_df, seeds_df):
     cfg = CrawlConfig(scope_host=fixture_web.SCOPE, max_depth=2, use_bloom=False)
     result = run_crawl(spark, seeds_df, pages_df, cfg)
