@@ -286,33 +286,51 @@ _SIMHASH_SCHEMA = T.LongType()
 
 @F.pandas_udf(_SIMHASH_SCHEMA)
 def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (numpy-vectorized batches).
+    """64-bit SimHash over whitespace tokens (Charikar's scheme).
 
-    Token hash = md5 low 64 bits; each bit votes ±1; sign of the vote
-    sum per bit position forms the fingerprint (Charikar's scheme).
+    Token hash = first 16 hex chars of md5(token) read big-endian —
+    i.e. ``(int(md5[:8hex]) << 32) | int(md5[8:16hex])`` — chosen so a
+    SQL oracle can re-derive it from two 32-bit halves without BIGINT
+    overflow. Each bit votes ±1 per token *occurrence*; the sign of
+    each bit's vote sum forms the fingerprint.
+
+    Vectorized per Arrow batch: md5 runs once per *unique* token in the
+    batch (webtext repeats tokens heavily), the vote matrix is summed
+    per doc with ``np.add.at`` over inverse indices — no per-token
+    Python work beyond the unique-token digests.
     """
     import hashlib
 
-    out = np.zeros(len(text), dtype=np.int64)
-    for i, t in enumerate(text):
-        if not t:
-            continue
-        toks = t.lower().split()
-        if not toks:
-            continue
-        hashes = np.frombuffer(
-            b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
-            dtype=np.uint64,
-        )
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-            np.int64
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        fp = np.uint64(0)
-        for pos in np.nonzero(votes > 0)[0]:
-            fp |= np.uint64(1) << np.uint64(pos)
-        out[i] = np.int64(fp)
-    return pd.Series(out)
+    n = len(text)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return pd.Series(out)
+    tok_lists = [(t.lower().split() if t else []) for t in text]
+    all_toks = np.array(
+        [tok for toks in tok_lists for tok in toks], dtype=object
+    )
+    if len(all_toks) == 0:
+        return pd.Series(out)
+    doc_idx = np.repeat(
+        np.arange(n), np.fromiter((len(t) for t in tok_lists), dtype=np.int64)
+    )
+    uniq, inv = np.unique(all_toks, return_inverse=True)
+    uh = np.fromiter(
+        (int(hashlib.md5(u.encode()).hexdigest()[:16], 16) for u in uniq),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    # (n_unique, 64) bit matrix → per-token votes via inverse indices
+    ubits = (
+        (uh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.int8)
+    votes = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(votes, doc_idx, (2 * ubits[inv] - 1).astype(np.int64))
+    fp_bits = (votes > 0).astype(np.uint64)
+    fps = (fp_bits << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pd.Series(fps.astype(np.int64))
 
 
 def simhash_near_pairs(

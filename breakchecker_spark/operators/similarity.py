@@ -72,13 +72,29 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    return np.random.RandomState(seed).normal(size=(n_planes, dim)).astype(np.float64)
+def deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """md5-derived hyperplane matrix, uniform in [-1, 1).
+
+    ``w[p][d] = int(md5(f"{seed}:{p}:{d}")[:8 hex], 16) / 2^31 - 1`` —
+    reproducible in any engine with md5 (the DuckDB oracle re-derives
+    the identical matrix in SQL), so LSH bucket assignments are exact-
+    checkable, not just recall-checkable. Sign projections only need a
+    symmetric-about-zero distribution, so uniform serves as well as
+    gaussian here (same construction trade as minhash, dedup.py:17-21).
+    """
+    import hashlib
+
+    w = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16)
+            w[p, d] = h / 2147483648.0 - 1.0
+    return w
 
 
 def make_lsh_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
     """Vectorized random-hyperplane signature: array<float> → int bucket."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = deterministic_planes(dim, n_planes, seed)
 
     @F.pandas_udf(T.IntegerType())
     def signature(vecs: pd.Series) -> pd.Series:
@@ -132,32 +148,97 @@ def lsh_topk(
     )
 
 
+def make_lsh_bands_udf(dim: int, n_planes: int = 4, n_bands: int = 8, seed: int = 42):
+    """Banded hyperplane signatures: array<float> → array<int> (one
+    bucket per band). A pair is a candidate if ANY band matches —
+    recall = 1 - (1 - p^n_planes)^n_bands where p = 1 - θ/π, the
+    classic banding amplification (same shape as minhash LSH)."""
+    planes = deterministic_planes(dim, n_planes * n_bands, seed)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def bands(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        bits = (mat @ planes.T) > 0  # (n, n_planes*n_bands)
+        out = []
+        for row in bits:
+            sigs = []
+            for b in range(n_bands):
+                s = 0
+                for j in range(n_planes):
+                    s |= int(row[b * n_planes + j]) << j
+                sigs.append(s)
+            out.append(sigs)
+        return pd.Series(out)
+
+    return bands
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str | None = "label",
+    block_col: str | None = None,
     threshold: float = 0.95,
+    dim: int | None = None,
+    n_planes: int = 4,
+    n_bands: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold, blocked on an attribute column.
+    """Pairs with cosine ≥ threshold.
 
-    Blocking turns all-pairs into per-block pairs; with no natural
-    block column, use make_lsh_signature_udf output as the block.
+    Default blocking is banded hyperplane LSH (the 100 TB path: the
+    all-pairs join becomes an equi-join on (band, bucket); block sizes
+    are bounded by the bucket granularity, not by attribute
+    cardinality). Pass ``block_col`` to opt into attribute blocking —
+    exact *within* blocks but unbounded per-block cost if a block is
+    huge. Candidate generation shuffles only (id, band, sig) rows;
+    vectors are joined back for scoring on the (much smaller) distinct
+    candidate set, and every emitted pair carries its exact cosine.
     """
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if block_col:
-        cols.append(F.col(block_col).alias("blk"))
-    base = df.select(*cols)
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+        blocked = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.col(block_col).alias("blk"),
+        )
+        a, b = blocked.alias("a"), blocked.alias("b")
+        return (
+            a.join(b, (F.col("a.id") < F.col("b.id")) & (F.col("a.blk") == F.col("b.blk")))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
+        )
+
+    if dim is None:
+        raise ValueError("dim is required for LSH blocking (block_col=None)")
+    bands = make_lsh_bands_udf(dim, n_planes, n_bands, seed)
+    sigs = base.select(
+        "id", F.posexplode(bands(F.col("v"))).alias("band", "sig")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
-        a.join(b, cond)
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

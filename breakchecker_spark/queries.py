@@ -374,9 +374,67 @@ def embedding_neardup(spark, sf_dir):
         "label",
     ).filter(F.col("vec_id") < 500)
     return (
-        similarity.cosine_neardup_pairs(emb, threshold=0.3)
+        similarity.cosine_neardup_pairs(emb, block_col="label", threshold=0.3)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos4"))
         .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_neardup_lsh(spark, sf_dir):
+    """Default (LSH-banded) blocking path — the 100 TB shape.
+
+    The md5-derived hyperplanes are re-derived by the DuckDB oracle, so
+    bucket assignments (not just recall) are exact-checked.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    emb = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).filter(F.col("vec_id") < 500)
+    return (
+        similarity.cosine_neardup_pairs(
+            emb, threshold=0.4, dim=64, n_planes=4, n_bands=8, seed=42
+        )
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos4"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, 16-bit-block pigeonhole join (≤3 bits)."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return (
+        dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def lsh_topk_recall(spark, sf_dir):
+    """ANN quality metric: per-query overlap of LSH top-k vs exact top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    emb = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, q, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.lsh_topk(emb, q, dim=64, k=3, n_planes=8, seed=42).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(approx.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(3), 4).alias("recall"),
+        )
+        .orderBy("query_id")
     )
 
 
@@ -458,6 +516,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": quality_scores,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup": embedding_neardup,
+    "embedding_neardup_lsh": embedding_neardup_lsh,
+    "simhash_hamming_pairs": simhash_hamming_pairs,
+    "lsh_topk_recall": lsh_topk_recall,
     "multimodal_binary_meta": multimodal_binary_meta,
     "crawl_frontier_bfs": crawl_frontier_bfs,
 }
@@ -724,6 +785,127 @@ ORACLES: dict[str, str] = {
                     (sqrt(list_dot_product(a.embedding, a.embedding)) *
                      sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.3
         ORDER BY id_a, id_b
+    """,
+    # Reproduces the engine's md5-derived hyperplane LSH exactly:
+    # w[p][d] = int(md5('42:p:d')[:8 hex], 16)/2^31 - 1; bit = dot > 0;
+    # band signature packs 4 bits; candidates share any (band, sig);
+    # candidates are then scored exactly.
+    "embedding_neardup_lsh": """
+        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        planes AS (
+            SELECT p.p, d.d,
+                   CAST('0x' || substr(md5('42:' || p.p || ':' || d.d), 1, 8) AS BIGINT)
+                       / 2147483648.0 - 1.0 AS w
+            FROM generate_series(0, 31) p(p), generate_series(0, 63) d(d)),
+        proj AS (
+            SELECT e.vec_id, pl.p,
+                   sum(e.embedding[pl.d + 1] * pl.w) AS s
+            FROM e, planes pl GROUP BY e.vec_id, pl.p),
+        sigs AS (
+            SELECT vec_id, CAST(p // 4 AS INT) AS band,
+                   CAST(sum(CASE WHEN s > 0
+                            THEN (1 << CAST(p % 4 AS INT)) ELSE 0 END) AS INT) AS sig
+            FROM proj GROUP BY vec_id, CAST(p // 4 AS INT)),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM sigs a JOIN sigs b
+              ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b,
+               round(round(list_dot_product(x.embedding, y.embedding) /
+                     (sqrt(list_dot_product(x.embedding, x.embedding)) *
+                      sqrt(list_dot_product(y.embedding, y.embedding))), 6), 4) AS cos4
+        FROM cand c JOIN e x ON c.id_a = x.vec_id JOIN e y ON c.id_b = y.vec_id
+        WHERE round(list_dot_product(x.embedding, y.embedding) /
+                    (sqrt(list_dot_product(x.embedding, x.embedding)) *
+                     sqrt(list_dot_product(y.embedding, y.embedding))), 6) >= 0.4
+        ORDER BY id_a, id_b
+    """,
+    # SimHash: token hash = md5[:16 hex] big-endian, kept as two 32-bit
+    # halves so BIGINT never overflows; each bit votes ±1 per token
+    # occurrence; fingerprint blocks (4×16 bit) pigeonhole the join.
+    "simhash_hamming_pairs": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+            FROM documents),
+        h AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hi,
+                   CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS lo
+            FROM toks),
+        votes AS (
+            SELECT doc_id, g.p,
+                   sum(CASE WHEN g.p < 32 THEN (lo >> g.p) & 1
+                            ELSE (hi >> (g.p - 32)) & 1 END * 2 - 1) AS v
+            FROM h, generate_series(0, 63) g(p) GROUP BY doc_id, g.p),
+        fp AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 AND p < 32
+                            THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS lo_fp,
+                   CAST(sum(CASE WHEN v > 0 AND p >= 32
+                            THEN (CAST(1 AS BIGINT) << CAST(p - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi_fp
+            FROM votes GROUP BY doc_id),
+        blocks AS (
+            SELECT doc_id, lo_fp, hi_fp, g.b,
+                   CASE g.b WHEN 0 THEN lo_fp & 65535
+                            WHEN 1 THEN (lo_fp >> 16) & 65535
+                            WHEN 2 THEN hi_fp & 65535
+                            ELSE (hi_fp >> 16) & 65535 END AS val
+            FROM fp, generate_series(0, 3) g(b)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.lo_fp AS alo, a.hi_fp AS ahi, b.lo_fp AS blo, b.hi_fp AS bhi
+            FROM blocks a JOIN blocks b
+              ON a.b = b.b AND a.val = b.val AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
+        ORDER BY id_a, id_b
+    """,
+    # LSH top-k quality vs exact top-k, both computed in the same SQL;
+    # the 8-plane bucket is the md5-derived signature the engine uses.
+    "lsh_topk_recall": """
+        WITH planes AS (
+            SELECT p.p, d.d,
+                   CAST('0x' || substr(md5('42:' || p.p || ':' || d.d), 1, 8) AS BIGINT)
+                       / 2147483648.0 - 1.0 AS w
+            FROM generate_series(0, 7) p(p), generate_series(0, 63) d(d)),
+        sigs AS (
+            SELECT e.vec_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1 << CAST(p AS INT)) ELSE 0 END) AS INT) AS bucket
+            FROM (SELECT e.vec_id, pl.p, sum(e.embedding[pl.d + 1] * pl.w) AS s
+                  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p) e(vec_id, p, s)
+            GROUP BY e.vec_id),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           round(list_dot_product(q.qv, e.embedding) /
+                                 (sqrt(list_dot_product(q.qv, q.qv)) *
+                                  sqrt(list_dot_product(e.embedding, e.embedding))), 6) DESC,
+                           e.vec_id ASC) AS rank
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+            WHERE rank <= 3),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           round(list_dot_product(q.qv, e.embedding) /
+                                 (sqrt(list_dot_product(q.qv, q.qv)) *
+                                  sqrt(list_dot_product(e.embedding, e.embedding))), 6) DESC,
+                           e.vec_id ASC) AS rank
+                FROM embeddings e
+                JOIN q ON e.vec_id <> q.query_id
+                JOIN sigs sq ON sq.vec_id = q.query_id
+                JOIN sigs se ON se.vec_id = e.vec_id AND se.bucket = sq.bucket)
+            WHERE rank <= 3)
+        SELECT x.query_id,
+               CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 3.0, 4) AS recall
+        FROM exact x LEFT JOIN approx a
+          ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        GROUP BY x.query_id ORDER BY x.query_id
     """,
     "multimodal_binary_meta": """
         SELECT doc_id, octet_length(encode(text)) AS n_bytes,

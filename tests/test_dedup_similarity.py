@@ -91,14 +91,69 @@ def test_lsh_topk_subset_of_exact_scores(spark, vectors):
         assert exact[(r["query_id"], r["neighbor_id"])] == r["cos"]
 
 
-def test_cosine_neardup_pairs(spark, vectors):
+def test_cosine_neardup_pairs_label_block(spark, vectors):
     pairs = {
         (r["id_a"], r["id_b"]): r["cos"]
-        for r in similarity.cosine_neardup_pairs(vectors, threshold=0.9).collect()
+        for r in similarity.cosine_neardup_pairs(
+            vectors, block_col="label", threshold=0.9
+        ).collect()
     }
     assert (1, 2) in pairs and (4, 5) in pairs
     assert (1, 3) not in pairs  # orthogonal
     assert (2, 4) not in pairs  # different block
+
+
+def test_cosine_neardup_pairs_lsh_default(spark, vectors):
+    """Default LSH blocking: near-identical pairs must collide in at
+    least one band; every emitted pair carries its exact cosine."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.cosine_neardup_pairs(
+            vectors, threshold=0.9, dim=4, n_planes=2, n_bands=8
+        ).collect()
+    }
+    assert (1, 2) in pairs and (4, 5) in pairs
+    assert (1, 3) not in pairs  # orthogonal — fails the threshold even if bucketed
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.cosine_neardup_pairs(
+            vectors, block_col="label", threshold=0.9
+        ).collect()
+    }
+    for p, c in pairs.items():
+        assert exact.get(p, c) == c  # scores are exact, never estimated
+
+
+def test_simhash64_matches_reference_loop(spark, docs):
+    """The vectorized unique-token UDF must equal a direct per-doc loop
+    with the documented hash (big-endian md5[:16 hex], ±1 bit votes)."""
+    import hashlib
+
+    import numpy as np
+
+    def ref_simhash(t):
+        toks = t.lower().split() if t else []
+        if not toks:
+            return 0
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+            for p in range(64):
+                votes[p] += 1 if (h >> p) & 1 else -1
+        fp = 0
+        for p in range(64):
+            if votes[p] > 0:
+                fp |= 1 << p
+        return fp if fp < 2**63 else fp - 2**64
+
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", dedup.simhash64(F.col("text")).alias("fp")
+        ).collect()
+    }
+    want = {r["doc_id"]: ref_simhash(r["text"]) for r in docs.collect()}
+    assert got == want
 
 
 def test_textstats(spark):
