@@ -82,6 +82,12 @@ def make_runner(pages_path: str, breach_db_path: str | None = None):
     )
 
     def run(domain: str, depth: int, budget: int | None) -> dict:
+        import datetime
+        import time as time_mod
+
+        ts_format = "%Y-%m-%d %H:%M:%S %Z"  # break_checker.py:1814
+        start_time = time_mod.time()
+        start_dt = datetime.datetime.now(datetime.timezone.utc)
         domain = seeds_mod.validate_domain(domain)
         seeds = seeds_mod.live_hosts(
             seeds_mod.union_seed_sources(spark, [], domain), pages
@@ -99,8 +105,15 @@ def make_runner(pages_path: str, breach_db_path: str | None = None):
             contacts = contacts.withColumn(
                 "breaches", F.array().cast("array<string>")
             )
+        end_dt = datetime.datetime.now(datetime.timezone.utc)
         return report_mod.build_report(
-            domain, result.url_seen, contacts, result.metrics
+            domain,
+            result.url_seen,
+            contacts,
+            result.metrics,
+            scan_start=start_dt.strftime(ts_format),
+            scan_end=end_dt.strftime(ts_format),
+            scan_duration=time_mod.time() - start_time,
         )
 
     return run

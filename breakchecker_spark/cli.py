@@ -65,6 +65,13 @@ def main(argv: list[str] | None = None) -> int:
     domain = seeds_mod.validate_domain(args.domain)
     spark = get_spark(app_name=f"breakchecker:{domain}", master=args.master)
 
+    import datetime
+    import time as time_mod
+
+    ts_format = "%Y-%m-%d %H:%M:%S %Z"  # break_checker.py:1814
+    start_time = time_mod.time()
+    start_dt = datetime.datetime.now(datetime.timezone.utc)
+
     pages = spark.read.parquet(args.pages)
     if args.seeds:
         raw_seeds = spark.read.parquet(args.seeds)
@@ -99,7 +106,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.contacts_sink:
         report_mod.write_contacts_sink(contacts, args.contacts_sink)
 
-    rep = report_mod.build_report(domain, result.url_seen, contacts, result.metrics)
+    end_dt = datetime.datetime.now(datetime.timezone.utc)
+    rep = report_mod.build_report(
+        domain,
+        result.url_seen,
+        contacts,
+        result.metrics,
+        scan_start=start_dt.strftime(ts_format),
+        scan_end=end_dt.strftime(ts_format),
+        scan_duration=time_mod.time() - start_time,
+    )
     if args.output:
         report_mod.save(rep, args.output, args.fmt)
         print(f"report written: {args.output}")

@@ -43,9 +43,11 @@ def summarize(url_seen: DataFrame, contacts: DataFrame, metrics: DataFrame) -> d
         .agg(F.sum("value").alias("v"))
         .collect()
     }
+    # key order mirrors the reference's summary dict insertion order
+    # (break_checker.py:1613-1622) — CSV/markdown render it as-is
     return {
-        "num_endpoints": n_endpoints,
         "num_subdomains": n_subdomains,
+        "num_endpoints": n_endpoints,
         "num_emails": kind_counts.get("email", 0),
         "num_phones": kind_counts.get("phone", 0),
         "emails_dropped": int(dropped.get("emails_dropped", 0)),
@@ -58,10 +60,15 @@ def build_report(
     url_seen: DataFrame,
     contacts_with_breaches: DataFrame,
     metrics: DataFrame,
+    scan_start: Optional[str] = None,
+    scan_end: Optional[str] = None,
+    scan_duration: Optional[float] = None,
 ) -> dict:
     """Nested report dict (reference shape, sorted for determinism:
     emails by address, phones by number, subdomains sorted —
-    break_checker.py:1601-1630)."""
+    break_checker.py:1601-1630; top-level scan_domain/scan_start/
+    scan_end/scan_duration keys per break_checker.py:1614-1622,
+    timestamps formatted '%Y-%m-%d %H:%M:%S %Z' UTC per bc:1810-1816)."""
     rows = contacts_with_breaches.orderBy("kind", "identifier").collect()
     emails = [
         {
@@ -88,10 +95,23 @@ def build_report(
         .collect()
     )
     summary = summarize(url_seen, contacts_with_breaches, metrics)
-    summary["num_breached_emails"] = sum(1 for e in emails if e["breaches"])
-    summary["num_breached_phones"] = sum(1 for p in phones if p["breaches"])
+    # reference inserts breach counts between num_phones and *_dropped
+    # (break_checker.py:1613-1622)
+    summary = {
+        "num_subdomains": summary["num_subdomains"],
+        "num_endpoints": summary["num_endpoints"],
+        "num_emails": summary["num_emails"],
+        "num_phones": summary["num_phones"],
+        "num_breached_emails": sum(1 for e in emails if e["breaches"]),
+        "num_breached_phones": sum(1 for p in phones if p["breaches"]),
+        "emails_dropped": summary["emails_dropped"],
+        "phones_dropped": summary["phones_dropped"],
+    }
     return {
-        "domain": domain,
+        "scan_domain": domain,
+        "scan_start": scan_start,
+        "scan_end": scan_end,
+        "scan_duration": scan_duration,
         "summary": summary,
         "subdomains": subdomains,
         "emails": emails,
@@ -104,29 +124,43 @@ def to_json(report: dict) -> str:
 
 
 def to_csv(report: dict) -> str:
-    """Sectioned CSV: summary rows, then type,value,source,breaches rows
-    (reference break_checker.py:1643-1662)."""
+    """Sectioned CSV: scan timing prelude, summary rows, then
+    type,value,source,breaches rows (reference break_checker.py:
+    1643-1662 — timing rows first, blank-line separators, breaches
+    joined with ', ')."""
     buf = io.StringIO()
     w = csv.writer(buf)
-    w.writerow(["domain", report["domain"]])
-    for k, v in sorted(report["summary"].items()):
+    w.writerow(["scan_start", report.get("scan_start")])
+    w.writerow(["scan_end", report.get("scan_end")])
+    w.writerow(["scan_duration", report.get("scan_duration")])
+    w.writerow([])
+    for k, v in report["summary"].items():
         w.writerow([k, v])
     w.writerow([])
     w.writerow(["type", "value", "source", "breaches"])
     for sub in report["subdomains"]:
         w.writerow(["subdomain", sub, "", ""])
     for e in report["emails"]:
-        w.writerow(["email", e["email"], e["source"], ";".join(e["breaches"])])
+        w.writerow(["email", e["email"], e["source"], ", ".join(e["breaches"])])
     for p in report["phones"]:
-        w.writerow(["phone", p["phone"], p["source"], ";".join(p["breaches"])])
+        w.writerow(["phone", p["phone"], p["source"], ", ".join(p["breaches"])])
     return buf.getvalue()
 
 
 def to_markdown(report: dict) -> str:
     """Markdown tables (reference break_checker.py:1663-1691)."""
-    lines = [f"# Scan report — {report['domain']}", "", "## Summary", ""]
+    lines = [
+        f"# Scan report — {report['scan_domain']}",
+        "",
+        f"Start: {report.get('scan_start')}",
+        f"End: {report.get('scan_end')}",
+        f"Duration: {report.get('scan_duration')}",
+        "",
+        "## Summary",
+        "",
+    ]
     lines += ["| metric | value |", "|---|---|"]
-    for k, v in sorted(report["summary"].items()):
+    for k, v in report["summary"].items():
         lines.append(f"| {k} | {v} |")
     lines += ["", "## Subdomains", ""]
     lines += [f"- {s}" for s in report["subdomains"]]

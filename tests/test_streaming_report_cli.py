@@ -89,8 +89,24 @@ def test_report_roundtrip(spark, crawl_result, tmp_path):
     )
     contacts = breach.match_breaches(crawl_result.contacts, db)
     rep = report.build_report(
-        "example.com", crawl_result.url_seen, contacts, crawl_result.metrics
+        "example.com",
+        crawl_result.url_seen,
+        contacts,
+        crawl_result.metrics,
+        scan_start="2025-01-01 00:00:00 UTC",
+        scan_end="2025-01-01 00:01:00 UTC",
+        scan_duration=60.0,
     )
+    assert rep["scan_domain"] == "example.com"
+    assert rep["scan_start"] == "2025-01-01 00:00:00 UTC"
+    assert rep["scan_end"] == "2025-01-01 00:01:00 UTC"
+    assert rep["scan_duration"] == 60.0
+    # reference summary key order (break_checker.py:1613-1622)
+    assert list(rep["summary"]) == [
+        "num_subdomains", "num_endpoints", "num_emails", "num_phones",
+        "num_breached_emails", "num_breached_phones",
+        "emails_dropped", "phones_dropped",
+    ]
     assert rep["summary"]["num_endpoints"] == crawl_result.summary["num_endpoints"]
     assert rep["summary"]["num_breached_emails"] == 1
     assert rep["summary"]["num_breached_phones"] == 1
@@ -98,11 +114,19 @@ def test_report_roundtrip(spark, crawl_result, tmp_path):
     emails = {e["email"]: e for e in rep["emails"]}
     assert emails["info@example.com"]["breaches"] == ["MegaBreach", "OtherLeak"]
 
-    for fmt, check in (("json", "\"domain\""), ("csv", "type,value,source"), ("md", "| metric |")):
+    for fmt, check in (("json", "\"scan_domain\""), ("csv", "type,value,source"), ("md", "| metric |")):
         p = str(tmp_path / f"r.{fmt}")
         report.save(rep, p, fmt)
         content = open(p).read()
         assert check in content
+    csv_content = open(str(tmp_path / "r.csv")).read()
+    # scan timing prelude rows (break_checker.py:1643-1650)
+    assert csv_content.startswith("scan_start,2025-01-01 00:00:00 UTC")
+    assert "scan_end,2025-01-01 00:01:00 UTC" in csv_content
+    assert "scan_duration,60.0" in csv_content
+    md_content = open(str(tmp_path / "r.md")).read()
+    assert "Start: 2025-01-01 00:00:00 UTC" in md_content
+    assert "Duration: 60.0" in md_content
     loaded = json.loads(open(str(tmp_path / "r.json")).read())
     assert loaded["summary"]["num_emails"] == rep["summary"]["num_emails"]
 
@@ -154,7 +178,8 @@ def test_cli_end_to_end(spark, pages_path, tmp_path):
     )
     assert rc == 0
     rep = json.loads(open(out).read())
-    assert rep["domain"] == "example.com"
+    assert rep["scan_domain"] == "example.com"
+    assert rep["scan_start"] and rep["scan_end"] and rep["scan_duration"] > 0
     assert rep["summary"]["num_emails"] > 0
     assert any(e["email"] == "info@example.com" for e in rep["emails"])
     assert os.path.exists(os.path.join(sink, "_SUCCESS"))
