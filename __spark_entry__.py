@@ -27,13 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
     embedded pages table, vectorized extraction, first-source dedup —
     then sanity-scoped to sf0.001 relational data via q1."""
     sf_dir = "/root/testdata/sf0.001"
-    # run the crawl flagship (non-trivial engine path) …
-    crawl = _q.crawl_frontier_bfs(spark, sf_dir)
-    # … and return its contacts unioned with a marker row count from q1
-    # to tie the smoke check to the driver tables as well.
-    q1 = _q.q1_pricing_summary(spark, sf_dir)
-    assert q1.count() > 0
-    return crawl
+    return _q.crawl_frontier_bfs(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -81,17 +81,49 @@ def region_for_domain(domain: str) -> Optional[str]:
 
 # ------------------------------------------------------ registered domain
 
-# Embedded multi-label public-suffix subset (tldextract replacement).
+# Embedded multi-label public-suffix subset (tldextract replacement):
+# every ICANN multi-label suffix family for the TLDs in TLD_REGION plus
+# the highest-traffic private-registry suffixes (github.io-class).
+# Generated from the public-suffix list's public entries; wildcard
+# rules (*.compute.amazonaws.com-style) are out of scope — documented
+# deviation.
 _MULTI_SUFFIXES = frozenset(
-    """co.uk org.uk ac.uk gov.uk me.uk net.uk
-       com.au net.au org.au edu.au gov.au
-       co.jp ne.jp or.jp ac.jp go.jp
-       com.br net.br org.br gov.br
-       co.in net.in org.in gen.in firm.in
+    """co.uk org.uk ac.uk gov.uk me.uk net.uk ltd.uk plc.uk sch.uk nhs.uk
+       com.au net.au org.au edu.au gov.au asn.au id.au
+       co.jp ne.jp or.jp ac.jp go.jp ad.jp ed.jp gr.jp lg.jp
+       com.br net.br org.br gov.br edu.br adv.br art.br blog.br eco.br
+       co.in net.in org.in gen.in firm.in ind.in ac.in edu.in res.in
+       gov.in nic.in
        com.gr net.gr org.gr edu.gr gov.gr
-       com.mx org.mx net.mx
-       com.ar com.sg com.hk com.tw co.kr co.za com.tr com.cn com.my
-       co.nz net.nz org.nz com.ph com.vn com.co com.cl""".split()
+       com.mx org.mx net.mx edu.mx gob.mx
+       com.ar net.ar org.ar edu.ar gob.ar gov.ar int.ar mil.ar tur.ar
+       com.sg net.sg org.sg edu.sg gov.sg per.sg
+       com.hk net.hk org.hk edu.hk gov.hk idv.hk
+       com.tw net.tw org.tw edu.tw gov.tw idv.tw club.tw game.tw
+       co.kr ne.kr or.kr re.kr pe.kr go.kr mil.kr ac.kr hs.kr ms.kr
+       es.kr sc.kr kg.kr seoul.kr busan.kr
+       co.za net.za org.za gov.za ac.za web.za
+       com.tr net.tr org.tr edu.tr gov.tr bel.tr pol.tr av.tr dr.tr k12.tr
+       com.cn net.cn org.cn edu.cn gov.cn ac.cn
+       com.my net.my org.my edu.my gov.my mil.my name.my
+       co.nz net.nz org.nz ac.nz govt.nz school.nz gen.nz geek.nz maori.nz
+       com.ph net.ph org.ph edu.ph gov.ph mil.ph
+       com.vn net.vn org.vn edu.vn gov.vn int.vn ac.vn biz.vn info.vn
+       name.vn pro.vn
+       com.co net.co org.co edu.co gov.co mil.co nom.co
+       co.il org.il net.il ac.il gov.il muni.il k12.il idf.il
+       com.pl net.pl org.pl edu.pl gov.pl info.pl biz.pl waw.pl
+       com.ua net.ua org.ua edu.ua gov.ua in.ua
+       com.ru net.ru org.ru ac.ru edu.ru gov.ru int.ru
+       co.hu org.hu info.hu priv.hu
+       co.at or.at ac.at gv.at priv.at
+       com.pt edu.pt gov.pt int.pt net.pt org.pt
+       com.es nom.es org.es gob.es edu.es
+       co.id net.id or.id web.id sch.id ac.id go.id mil.id biz.id my.id
+       co.th net.th or.th ac.th go.th in.th mi.th
+       github.io gitlab.io blogspot.com herokuapp.com netlify.app
+       vercel.app pages.dev web.app firebaseapp.com appspot.com
+       wordpress.com""".split()
 )
 
 
@@ -99,15 +131,19 @@ def registered_domain(hostname: str) -> str:
     """Organization-level domain: eTLD+1 under an embedded PSL subset.
 
     ``mail.sub.example.co.uk`` → ``example.co.uk``;
-    ``a.b.example.com`` → ``example.com``. Empty string when the name
-    has no dot-separated suffix (reference uses tldextract's
-    ``top_domain_under_public_suffix``, break_checker.py:1234-1237).
+    ``a.b.example.com`` → ``example.com``;
+    ``user.github.io`` → ``user.github.io`` (private-registry suffix).
+    Empty string when the name has no dot-separated suffix (reference
+    uses tldextract's ``top_domain_under_public_suffix``,
+    break_checker.py:1234-1237).
     """
     labels = hostname.lower().strip(".").split(".")
     if len(labels) < 2:
         return ""
-    if len(labels) >= 3 and ".".join(labels[-2:]) in _MULTI_SUFFIXES:
-        return ".".join(labels[-3:])
+    if ".".join(labels[-2:]) in _MULTI_SUFFIXES:
+        # suffix consumes two labels → org domain is three (when the
+        # host is exactly the suffix, tldextract yields no org domain)
+        return ".".join(labels[-3:]) if len(labels) >= 3 else ""
     return ".".join(labels[-2:])
 
 
@@ -160,41 +196,84 @@ def email_org(canonical_email: str) -> str:
 # ------------------------------------------------------------ phone side
 
 # Mini phone metadata: region → (calling code, allowed national-number
-# lengths, national format keeps trunk '0'?). Stdlib replacement for
-# libphonenumber, covering the reference's TLD-region map. Lengths are
-# the common national significant number (NSN) lengths per ITU plans.
+# lengths, national format keeps trunk '0'?, NSN leading-digit pattern
+# or None). Stdlib replacement for libphonenumber, covering the
+# reference's TLD-region map. Lengths are the common national
+# significant number (NSN) lengths per ITU plans; the leading-digit
+# patterns (top-traffic regions) reject prefix-invalid numbers that a
+# bare length check would accept — e.g. a NANP number whose area code
+# starts with 0/1, or a 9-digit Greek string that is neither geo (2…)
+# nor mobile (69…). Patterns match the trunk-stripped NSN (for IT the
+# NSN keeps its significant leading 0).
 _PHONE_META = {
-    "US": ("1", {10}, False), "CA": ("1", {10}, False),
-    "GB": ("44", {9, 10}, True), "DE": ("49", {6, 7, 8, 9, 10, 11}, True),
-    "FR": ("33", {9}, True), "IT": ("39", {8, 9, 10, 11}, False),
-    "ES": ("34", {9}, False), "PT": ("351", {9}, False),
-    "NL": ("31", {9}, True), "BE": ("32", {8, 9}, True),
-    "SE": ("46", {7, 8, 9, 10}, True), "NO": ("47", {8}, False),
-    "FI": ("358", {6, 7, 8, 9, 10}, True), "DK": ("45", {8}, False),
-    "PL": ("48", {9}, False), "CZ": ("420", {9}, False),
-    "SK": ("421", {9}, True), "HU": ("36", {8, 9}, False),
-    "RO": ("40", {9}, True), "BG": ("359", {7, 8, 9}, True),
-    "AT": ("43", {7, 8, 9, 10, 11}, True), "CH": ("41", {9}, True),
-    "IE": ("353", {7, 8, 9}, True), "TR": ("90", {10}, True),
-    "UA": ("380", {9}, True), "RU": ("7", {10}, False),
-    "IL": ("972", {8, 9}, True), "AU": ("61", {9}, True),
-    "NZ": ("64", {8, 9, 10}, True), "MX": ("52", {10}, False),
-    "BR": ("55", {10, 11}, False), "AR": ("54", {10}, False),
-    "CL": ("56", {9}, False), "CO": ("57", {10}, False),
-    "ZA": ("27", {9}, True), "IN": ("91", {10}, False),
-    "SG": ("65", {8}, False), "HK": ("852", {8}, False),
-    "TW": ("886", {8, 9}, True), "JP": ("81", {9, 10}, True),
-    "KR": ("82", {8, 9, 10}, True), "MY": ("60", {8, 9, 10}, True),
-    "ID": ("62", {8, 9, 10, 11}, True), "TH": ("66", {8, 9}, True),
-    "PH": ("63", {8, 9, 10}, True), "VN": ("84", {9, 10}, True),
-    "GR": ("30", {10}, False),
+    # NANP: area code and exchange each start 2-9
+    "US": ("1", {10}, False, r"[2-9]\d{2}[2-9]\d{6}"),
+    "CA": ("1", {10}, False, r"[2-9]\d{2}[2-9]\d{6}"),
+    # GB: geo 1x/2x (10), corporate 5x, mobile 7x (10), freephone 80x
+    # (9-10), premium 9x; NSN never starts 0
+    "GB": ("44", {9, 10}, True, r"[1-9]\d{8,9}"),
+    "DE": ("49", {6, 7, 8, 9, 10, 11}, True, r"[1-9]\d{5,10}"),
+    "FR": ("33", {9}, True, r"[1-9]\d{8}"),
+    # IT: trunk 0 is significant (geo 0…, mobile 3…, services 8…)
+    "IT": ("39", {8, 9, 10, 11}, False, r"(?:0\d{7,10}|3\d{8,9}|8\d{7,9})"),
+    # ES: mobile 6/7, geo 8/9
+    "ES": ("34", {9}, False, r"[6-9]\d{8}"),
+    "PT": ("351", {9}, False, r"[2-9]\d{8}"),
+    "NL": ("31", {9}, True, r"[1-9]\d{8}"),
+    "BE": ("32", {8, 9}, True, None),
+    "SE": ("46", {7, 8, 9, 10}, True, None),
+    "NO": ("47", {8}, False, None),
+    "FI": ("358", {6, 7, 8, 9, 10}, True, None),
+    "DK": ("45", {8}, False, None),
+    "PL": ("48", {9}, False, None),
+    "CZ": ("420", {9}, False, None),
+    "SK": ("421", {9}, True, None),
+    "HU": ("36", {8, 9}, False, None),
+    "RO": ("40", {9}, True, None),
+    "BG": ("359", {7, 8, 9}, True, None),
+    "AT": ("43", {7, 8, 9, 10, 11}, True, None),
+    "CH": ("41", {9}, True, None),
+    "IE": ("353", {7, 8, 9}, True, None),
+    "TR": ("90", {10}, True, None),
+    "UA": ("380", {9}, True, None),
+    "RU": ("7", {10}, False, None),
+    "IL": ("972", {8, 9}, True, None),
+    # AU: geo 2/3/7/8, mobile 4
+    "AU": ("61", {9}, True, r"[23478]\d{8}"),
+    "NZ": ("64", {8, 9, 10}, True, None),
+    "MX": ("52", {10}, False, None),
+    "BR": ("55", {10, 11}, False, None),
+    "AR": ("54", {10}, False, None),
+    "CL": ("56", {9}, False, None),
+    "CO": ("57", {10}, False, None),
+    "ZA": ("27", {9}, True, None),
+    # IN: 10-digit numbers start 6-9 (mobile) — geo written with STD
+    # codes resolve through the same set after trunk strip
+    "IN": ("91", {10}, False, r"[1-9]\d{9}"),
+    "SG": ("65", {8}, False, None),
+    "HK": ("852", {8}, False, None),
+    "TW": ("886", {8, 9}, True, None),
+    "JP": ("81", {9, 10}, True, None),
+    "KR": ("82", {8, 9, 10}, True, None),
+    "MY": ("60", {8, 9, 10}, True, None),
+    "ID": ("62", {8, 9, 10, 11}, True, None),
+    "TH": ("66", {8, 9}, True, None),
+    "PH": ("63", {8, 9, 10}, True, None),
+    "VN": ("84", {9, 10}, True, None),
+    # GR: geo 2…, mobile 69…, services 8…/9… — all 10 digits
+    "GR": ("30", {10}, False, r"(?:2\d{9}|69\d{8}|[89]\d{9})"),
 }
 # Longest-prefix lookup: calling code → region (first region wins for
 # shared codes, e.g. +1 → US).
 _CC_REGION: dict = {}
-for _region, (_cc, _lens, _trunk) in _PHONE_META.items():
+for _region, (_cc, _lens, _trunk, _pat) in _PHONE_META.items():
     _CC_REGION.setdefault(_cc, _region)
 _CC_BY_LENGTH = sorted(_CC_REGION, key=len, reverse=True)
+_NSN_PATTERNS = {
+    region: re.compile(rf"^(?:{pat})$")
+    for region, (_c, _l, _t, pat) in _PHONE_META.items()
+    if pat is not None
+}
 
 _NON_DIGIT = re.compile(r"\D")
 _PHONE_CHARS_OK = re.compile(r"^\+?[\d\s().\-]+$")
@@ -202,8 +281,11 @@ _PHONE_CHARS_OK = re.compile(r"^\+?[\d\s().\-]+$")
 
 def _national_digits(region: str, nsn: str) -> Optional[str]:
     """Digits-only national form when nsn is valid for the region."""
-    cc, lengths, trunk = _PHONE_META[region]
+    cc, lengths, trunk, _pat = _PHONE_META[region]
     if len(nsn) not in lengths:
+        return None
+    pattern = _NSN_PATTERNS.get(region)
+    if pattern is not None and not pattern.match(nsn):
         return None
     digits = ("0" + nsn) if trunk else nsn
     return digits if len(digits) >= 7 else None
@@ -244,7 +326,7 @@ def normalize_phone(raw: str, default_region: Optional[str] = None) -> Optional[
             meta = _PHONE_META.get(attempt)
             if meta is None:
                 continue
-            cc, lengths, trunk = meta
+            cc, lengths, trunk, _pat = meta
             nsn = digits
             # National dialing usually writes the trunk prefix; strip it
             # before length validation (e.g. GB 020... → NSN 20...).

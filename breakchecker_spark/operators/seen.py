@@ -9,14 +9,18 @@ the structural key that collapses near-duplicate URLs
 
 Scale design (10^10 seen URLs):
 
-* the exact ``url_seen`` table is bucketed by ``key_hash`` so the
-  anti-join is storage-partitioned (no re-shuffle of the big side);
+* the exact ``url_seen`` table is written directory-partitioned by
+  ``bucket = pmod(key_hash, N)`` (checkpoint store), and the exact
+  membership check never shuffles it: bloom survivors are broadcast
+  into a map-side semi join against the scan (with the bucket key in
+  the join so DPP can skip bucket dirs), and the confirmed-seen set —
+  smaller still — is broadcast back into the final anti-join;
 * the bloom filter is itself a table of (part_id, bitset) rows,
   co-grouped with candidates via ``cogroup().applyInPandas`` — no
   driver state, no whole-filter broadcast;
 * candidates that miss the bloom are **definitely new** and skip the
-  anti-join entirely; bloom hits (true-seen + ~1% FP) go through the
-  exact anti-join, so results are exactly equal to exact-only
+  exact check entirely; bloom hits (true-seen + ~1% FP) go through
+  it, so results are exactly equal to exact-only
   (verified by tests/test_seen_bloom.py).
 """
 
@@ -118,12 +122,29 @@ def filter_new(
     seen: DataFrame,
     bloom_table: DataFrame | None = None,
     n_parts: int = 32,
+    seen_buckets: int | None = None,
+    cache_registry: list | None = None,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Candidates whose struct key is not in the seen set.
 
     ``candidates`` must already carry ``key_hash`` (with_struct_key).
-    With a bloom table, definitely-new rows bypass the anti-join;
-    results are identical either way.
+    With a bloom table, definitely-new rows bypass the exact check;
+    results are identical either way (tests/test_seen_bloom.py).
+
+    Exact-check shape (the 10^10-key path): the seen table is **never
+    shuffled**. Bloom survivors (true dups + ~1% FP — bounded small)
+    are broadcast; ``seen ⋉ broadcast(survivors)`` confirms which are
+    truly seen with a map-side scan, then the (even smaller) confirmed
+    set is broadcast back into an anti-join. When ``seen_buckets`` is
+    set and the seen table carries the matching ``bucket`` column
+    (written directory-partitioned by the checkpoint store), the semi
+    join includes the bucket key so dynamic partition pruning can skip
+    whole bucket directories of the scan.
+
+    ``cache_registry``: the probed candidate frame feeds three branches
+    (definitely-new, broadcast build, final anti-join); when a list is
+    passed it is cached once and appended for caller-side unpersist.
     """
     if bloom_table is None:
         return candidates.join(seen.select("key_hash"), "key_hash", "left_anti")
@@ -152,10 +173,30 @@ def filter_new(
         .cogroup(bloom_table.groupBy("part_id"))
         .applyInPandas(_probe, schema=out_schema)
     )
+    if cache_registry is not None:
+        probed = probed.cache()
+        cache_registry.append(probed)
     definitely_new = probed.filter(~F.col("maybe_seen")).select(*cand_cols)
-    survivors = (
-        probed.filter(F.col("maybe_seen"))
-        .select(*cand_cols)
-        .join(seen.select("key_hash"), "key_hash", "left_anti")
+    survivors = probed.filter(F.col("maybe_seen")).select(*cand_cols)
+
+    if strategy == "anti":
+        new_survivors = survivors.join(
+            seen.select("key_hash"), "key_hash", "left_anti"
+        )
+        return definitely_new.unionByName(new_survivors)
+
+    if seen_buckets is not None and "bucket" in seen.columns:
+        surv_keys = survivors.select("key_hash").withColumn(
+            "bucket", F.pmod(F.col("key_hash"), F.lit(seen_buckets)).cast("int")
+        )
+        confirmed = seen.select("bucket", "key_hash").join(
+            F.broadcast(surv_keys), ["bucket", "key_hash"], "left_semi"
+        )
+    else:
+        confirmed = seen.select("key_hash").join(
+            F.broadcast(survivors.select("key_hash")), "key_hash", "left_semi"
+        )
+    new_survivors = survivors.join(
+        F.broadcast(confirmed.select("key_hash")), "key_hash", "left_anti"
     )
-    return definitely_new.unionByName(survivors)
+    return definitely_new.unionByName(new_survivors)

@@ -30,13 +30,14 @@ import shutil
 from typing import Dict, List, Optional
 
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def parquet_rows(path: str) -> int:
-    """Row count from parquet footers — no Spark job."""
+    """Row count from parquet footers — no Spark job. Recursive so
+    directory-partitioned tables (bucket=N subdirs) count correctly."""
     total = 0
-    for f in glob.glob(os.path.join(path, "*.parquet")):
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
         total += pq.ParquetFile(f).metadata.num_rows
     return total
 
@@ -82,11 +83,22 @@ class CheckpointStore:
     def _dir(self, table: str, version: int) -> str:
         return os.path.join(self.root, table, f"v{version}")
 
-    def _write(self, table: str, df: DataFrame, version: int) -> None:
+    def _write(
+        self, table: str, df: DataFrame, version: int, partition_by: str | None = None
+    ) -> None:
         path = self._dir(table, version)
         if os.path.exists(path):
             shutil.rmtree(path)  # orphan from a killed run
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_by is not None:
+            # one shuffle of the (small) delta → one file per partition
+            # value per version; Iceberg's bucket-transform layout on
+            # plain parquet. Readers recover the column via per-version
+            # partition discovery (see read()).
+            writer = df.repartition(F.col(partition_by)).write.mode(
+                "overwrite"
+            ).partitionBy(partition_by)
+        writer.parquet(path)
 
     def stage_replace(self, table: str, df: DataFrame, round_no: int) -> int:
         """Write a full new version; commit makes it the only live one.
@@ -95,10 +107,21 @@ class CheckpointStore:
         self._pending[table] = [round_no]
         return parquet_rows(self._dir(table, round_no))
 
-    def stage_append(self, table: str, df: DataFrame, round_no: int) -> int:
+    def stage_append(
+        self,
+        table: str,
+        df: DataFrame,
+        round_no: int,
+        partition_by: str | None = None,
+    ) -> int:
         """Write only this round's delta; readers union all versions.
-        Returns the delta row count (from parquet footers, no job)."""
-        self._write(table, df, round_no)
+        Returns the delta row count (from parquet footers, no job).
+
+        ``partition_by`` lays the delta out as <dir>/<col>=<v>/ files —
+        the plain-parquet analogue of Iceberg bucket partitioning; the
+        url_seen table uses it with a key_hash bucket so membership
+        probes can prune buckets and never shuffle the seen side."""
+        self._write(table, df, round_no, partition_by=partition_by)
         self._pending[table] = self._committed_versions(table) + [round_no]
         return parquet_rows(self._dir(table, round_no))
 
@@ -117,8 +140,28 @@ class CheckpointStore:
         self._pending = {}
 
     def read(self, spark: SparkSession, table: str) -> Optional[DataFrame]:
-        """Read a table at its last committed state (None if absent)."""
+        """Read a table at its last committed state (None if absent).
+
+        Each version is read separately (its own partition-discovery
+        basePath, so directory-partition columns like bucket= are
+        recovered) and unioned by name — the Iceberg-manifest read
+        pattern on plain parquet."""
         versions = self._committed_versions(table)
         if not versions:
             return None
-        return spark.read.parquet(*[self._dir(table, v) for v in versions])
+        # a zero-row partitionBy write leaves no data files — such a
+        # version contributed nothing; skip it (schema can't be read)
+        versions = [
+            v
+            for v in versions
+            if glob.glob(
+                os.path.join(self._dir(table, v), "**", "*.parquet"), recursive=True
+            )
+        ]
+        if not versions:
+            return None
+        dfs = [spark.read.parquet(self._dir(table, v)) for v in versions]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out

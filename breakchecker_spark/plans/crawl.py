@@ -67,6 +67,15 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_parts: int = 32
     bloom_expected_per_part: int = 100_000
+    # url_seen bucket count: deltas are written directory-partitioned
+    # by pmod(key_hash, seen_buckets) so the exact membership check can
+    # prune buckets and never shuffles the seen side (operators/seen.py).
+    # 0 disables the bucketed layout.
+    seen_buckets: int = 32
+    # exact-membership strategy: "broadcast" = shuffle-free two-step
+    # broadcast confirm (the 10^10-key path); "anti" = plain anti-join
+    # (AQE broadcasts the seen side while it is small)
+    seen_join: str = "broadcast"
     checkpoint_dir: Optional[str] = None
     run_id: str = "run0"
     max_rounds: int = 1000
@@ -154,9 +163,10 @@ def run_crawl(
     """
     store = CheckpointStore(config.checkpoint_dir) if config.checkpoint_dir else None
 
-    empty_seen = spark.createDataFrame(
-        [], "key_hash long, struct_key string, url string, depth int"
-    )
+    seen_schema = "key_hash long, struct_key string, url string, depth int"
+    if config.seen_buckets:
+        seen_schema += ", bucket int"
+    empty_seen = spark.createDataFrame([], seen_schema)
     empty_contacts = spark.createDataFrame(
         [], "kind string, identifier string, source_url string, depth int"
     )
@@ -209,8 +219,17 @@ def run_crawl(
         rounds_run = round_no + 1
         t0 = time.time()
 
-        # 1. dequeue-time seen re-check (bloom prefilter + exact anti-join)
-        live = seen.filter_new(frontier, url_seen, bloom_table, config.bloom_parts)
+        round_caches: list = []
+        # 1. dequeue-time seen re-check (bloom prefilter + exact check)
+        live = seen.filter_new(
+            frontier,
+            url_seen,
+            bloom_table,
+            config.bloom_parts,
+            seen_buckets=config.seen_buckets or None,
+            cache_registry=round_caches,
+            strategy=config.seen_join,
+        )
         live = _dedup_frontier(live)
 
         # 2. robots gate (dropped, not deferred) + per-host budget
@@ -222,6 +241,11 @@ def run_crawl(
 
         # 3. mark visited BEFORE the fetch join (bc:1344-1346)
         new_seen = eligible.select("key_hash", "struct_key", "url", "depth")
+        if config.seen_buckets:
+            new_seen = new_seen.withColumn(
+                "bucket",
+                F.pmod(F.col("key_hash"), F.lit(config.seen_buckets)).cast("int"),
+            )
         url_seen_next = url_seen.unionByName(new_seen)
 
         # 4. fetch = left join against the pages table. Dead hosts are
@@ -261,7 +285,13 @@ def run_crawl(
         )
         # enqueue-time checks: not seen, not already queued (deferred)
         candidates = seen.filter_new(
-            candidates, url_seen_next, bloom_next, config.bloom_parts
+            candidates,
+            url_seen_next,
+            bloom_next,
+            config.bloom_parts,
+            seen_buckets=config.seen_buckets or None,
+            cache_registry=round_caches,
+            strategy=config.seen_join,
         )
         if config.host_budget is None and host_budgets is None:
             # no deferrals possible — skip the anti-join and the union
@@ -310,7 +340,11 @@ def run_crawl(
 
             with ThreadPoolExecutor(max_workers=4) as pool:
                 f_seen = pool.submit(
-                    store.stage_append, "url_seen", new_seen, round_no
+                    store.stage_append,
+                    "url_seen",
+                    new_seen,
+                    round_no,
+                    "bucket" if config.seen_buckets else None,
                 )
                 f_frontier = pool.submit(
                     store.stage_replace, "frontier", frontier_next, round_no
@@ -358,6 +392,8 @@ def run_crawl(
                 bloom_table = bloom_next.localCheckpoint(eager=True)
         eligible.unpersist()
         for df in caches:
+            df.unpersist()
+        for df in round_caches:
             df.unpersist()
 
     deduped = extract.dedup_contacts(all_contacts)

@@ -1,0 +1,207 @@
+"""Golden vectors characterizing the contact-normalization surface.
+
+The reference delegates email validity to ``email_validator``
+(break_checker.py:1089-1105) and phone validity to ``phonenumbers``
+(break_checker.py:1108-1134); neither library ships in this sandbox,
+so the repo uses stdlib-exact replacements (functions/contacts.py
+module docstring). These vectors pin the replacement's behavior on
+adversarial inputs and document exactly where it is KNOWN to diverge
+from the libraries — each divergence is tagged ``LIB-DIFF`` with the
+library's expected answer, so the deviation corpus is characterized
+rather than unknown (VERDICT r1, Missing #1/#2).
+
+Every vector asserts the CURRENT output; a behavior change here is a
+deliberate decision, not an accident.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from breakchecker_spark.functions import contacts
+
+# ---------------------------------------------------------------- emails
+# (raw, expected canonical or None)
+EMAIL_VECTORS = [
+    # plain + case folding + wrappers
+    ("Info@Example.COM", "info@example.com"),
+    ("  sales@example.org  ", "sales@example.org"),
+    ("<wrapped@example.com>", "wrapped@example.com"),
+    ("(paren@example.com)", "paren@example.com"),
+    ("quoted%40example.com".replace("%40", "@"), "quoted@example.com"),
+    ("pct%40example.com", "pct@example.com"),  # percent-encoded @
+    # atext specials the RFC allows
+    ("o'brien@example.ie", "o'brien@example.ie"),
+    ("user+tag@example.com", "user+tag@example.com"),
+    ("first.last@example.com", "first.last@example.com"),
+    ("ok_underscore@example.com", "ok_underscore@example.com"),
+    ("x!#$%&'*+/=?^_`{|}~y@example.com", "x!#$%&'*+/=?^_`{|}~y@example.com"),
+    # dots in local part
+    (".leadingdot@example.com", None),
+    ("trailingdot.@example.com", None),
+    ("double..dot@example.com", None),
+    # domain shape
+    ("user@localhost", None),  # no dot
+    ("user@example.c", None),  # 1-char TLD
+    ("user@example.123", None),  # numeric TLD
+    ("user@-bad.example.com", None),  # label starts with hyphen
+    ("user@bad-.example.com", None),  # label ends with hyphen
+    ("user@sub.example.co.uk", "user@sub.example.co.uk"),
+    ("user@example.museum", "user@example.museum"),
+    # length limits
+    ("a" * 64 + "@example.com", "a" * 64 + "@example.com"),
+    ("a" * 65 + "@example.com", None),  # local > 64
+    ("user@" + "b" * 64 + ".com", None),  # label > 63
+    # multiple @
+    ("a@b@example.com", None),
+    ("", None),
+    # LIB-DIFF: email_validator accepts IDN domains and folds them via
+    # IDNA (münchen.de → xn--mnchen-3ya.de normalized form); the
+    # RFC-lite check rejects all non-ASCII domains.
+    ("user@münchen.de", None),
+    ("üser@example.com", None),
+    # LIB-DIFF: email_validator (check_deliverability=False) accepts
+    # quoted local parts like "john smith"@example.com; RFC-lite has no
+    # quoted-string support. The crawl regex never extracts these, so
+    # the divergence is unreachable from page text.
+    ('"john smith"@example.com', None),
+    # file-extension lookalikes are rejected upstream by EMAIL_RE's
+    # negative lookahead (never extracted from text); normalize_email
+    # itself sees a syntactically valid shape — same as the reference,
+    # whose email_validator also accepts ".png" as a TLD
+    ("logo@2x.png", "logo@2x.png"),
+]
+
+# ---------------------------------------------------------------- phones
+# (raw, default_region, expected digits-only national or None)
+PHONE_VECTORS = [
+    # --- NANP (+1) ---
+    ("+1 212 555 0123", None, "2125550123"),
+    ("+1 (212) 555-0123", None, "2125550123"),
+    ("212-555-0123", "US", "2125550123"),
+    ("2125550123", "US", "2125550123"),
+    # NANP prefix rules: area code / exchange can't start 0 or 1
+    ("+1 012 555 0123", None, None),
+    ("+1 112 555 0123", None, None),
+    ("+1 212 055 0123", None, None),
+    ("0123456789", "US", None),  # 10 digits but area code 0
+    ("1234567890", "US", None),  # area code 1
+    # LIB-DIFF: phonenumbers knows unassigned NANP area codes (e.g.
+    # 999) are invalid; the leading-digit pattern accepts any [2-9]xx.
+    ("+1 999 555 0123", None, "9995550123"),
+    # --- GR (+30) ---
+    ("+30 210 123 4567", None, "2101234567"),
+    ("210 123 4567", "GR", "2101234567"),
+    ("+30 69 1234 5678", None, "6912345678"),
+    ("691 234 5678", "GR", "6912345678"),
+    # GR numbers are 10 digits starting 2/69/8/9
+    ("+30 51 234 5678", None, None),  # 9 digits
+    ("+30 41 2345 6789", None, None),  # starts 4 — not geo/mobile
+    ("1234567890", "GR", None),  # starts 1
+    # LIB-DIFF: phonenumbers validates the full GR prefix table (e.g.
+    # 68x is unassigned); the pattern accepts any 69x mobile shape only,
+    # so 68x already rejects — but 699/698 granularity is not checked.
+    # --- GB (+44, trunk 0) ---
+    ("+44 20 7123 4567", None, "02071234567"),
+    ("020 7123 4567", "GB", "02071234567"),
+    ("07911 123456", "GB", "07911123456"),
+    ("+44 7911 123456", None, "07911123456"),
+    ("+44 0 20 7123 4567", None, None),  # NSN can't start 0
+    # LIB-DIFF: phonenumbers rejects GB 9-digit strings outside the
+    # real 0500/0800 ranges; the length set admits any 9-10 digit NSN
+    # with leading 1-9.
+    ("+44 123456789", None, "0123456789"),
+    # --- IT (+39, trunk 0 significant) ---
+    ("+39 02 1234 5678", None, "0212345678"),
+    ("02 1234 5678", "IT", "0212345678"),
+    ("+39 333 123 4567", None, "3331234567"),
+    ("333 123 4567", "IT", "3331234567"),
+    ("+39 800 123 456", None, "800123456"),
+    # IT numbers start 0 (geo) / 3 (mobile) / 8 (services)
+    ("+39 212 345 678", None, None),
+    ("51234567", "IT", None),  # starts 5
+    # --- DE (+49, trunk 0) ---
+    ("+49 30 123456", None, "030123456"),
+    ("030 123456", "DE", "030123456"),
+    ("+49 1512 3456789", None, "015123456789"),
+    # --- FR (+33, trunk 0) ---
+    ("+33 1 23 45 67 89", None, "0123456789"),
+    ("01 23 45 67 89", "FR", "0123456789"),
+    ("+33 0 1 23 45 67 89", None, None),  # NSN can't start 0
+    # --- ES (+34, no trunk) ---
+    ("+34 612 34 56 78", None, "612345678"),
+    ("912 345 678", "ES", "912345678"),
+    ("+34 112 345 678", None, None),  # starts 1
+    # --- AU (+61, trunk 0) ---
+    ("+61 2 9876 5432", None, "0298765432"),
+    ("02 9876 5432", "AU", "0298765432"),
+    ("+61 412 345 678", None, "0412345678"),
+    ("+61 512 345 678", None, None),  # 5 not a valid AU leading digit
+    # --- IN (+91) ---
+    ("+91 98765 43210", None, "9876543210"),
+    ("+91 09876 54321", None, None),  # NSN leading 0 invalid
+    # --- shared country code +1 resolves to US (first region wins) ---
+    ("+1 416 555 0199", None, "4165550199"),  # Toronto number, US metadata
+    # --- format tolerance ---
+    ("+30 (210) 123-4567", None, "2101234567"),
+    ("+30.210.123.4567", None, "2101234567"),
+    ("tel nonsense", "US", None),
+    ("+30 abc 123", None, None),  # letters → charset reject
+    ("123", "US", None),  # too short
+    ("", "US", None),
+    # no region and no + → unparseable (reference behavior: region
+    # required for national forms, break_checker.py:1120-1128)
+    ("210 123 4567", None, None),
+    ("2125550123", None, None),
+    # unknown calling code with + → no region match
+    ("+999 123 456 789", None, None),
+    # LIB-DIFF: phonenumbers parses extensions ("x123", ";ext=")
+    # into a separate field; the charset check rejects them outright.
+    ("+1 212 555 0123 x45", None, None),
+    # LIB-DIFF: Italian premium 89x is narrower in phonenumbers than
+    # the 8\\d{7,9} services pattern here.
+    ("+39 891 234 567", None, "891234567"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", EMAIL_VECTORS)
+def test_email_golden(raw, expected):
+    assert contacts.normalize_email(raw) == expected
+
+
+@pytest.mark.parametrize("raw,region,expected", PHONE_VECTORS)
+def test_phone_golden(raw, region, expected):
+    assert contacts.normalize_phone(raw, region) == expected
+
+
+# ------------------------------------------------------ registered domain
+# (host, expected eTLD+1) — PSL-subset behavior incl. private suffixes
+DOMAIN_VECTORS = [
+    ("example.com", "example.com"),
+    ("a.b.example.com", "example.com"),
+    ("example.co.uk", "example.co.uk"),
+    ("mail.sub.example.co.uk", "example.co.uk"),
+    ("example.co.il", "example.co.il"),
+    ("www.example.co.il", "example.co.il"),
+    ("example.com.pl", "example.com.pl"),
+    ("shop.example.com.pl", "example.com.pl"),
+    ("example.gob.mx", "example.gob.mx"),
+    ("example.com.tr", "example.com.tr"),
+    ("example.ac.jp", "example.ac.jp"),
+    ("user.github.io", "user.github.io"),  # private-registry suffix
+    ("deep.user.github.io", "user.github.io"),
+    ("myapp.herokuapp.com", "myapp.herokuapp.com"),
+    ("blog.blogspot.com", "blog.blogspot.com"),
+    ("site.netlify.app", "site.netlify.app"),
+    # the bare suffix itself has no registrable domain (tldextract: "")
+    ("co.uk", ""),
+    ("github.io", ""),
+    ("localhost", ""),
+    # unknown multi-label combos fall back to last two labels
+    ("example.zz.xx", "zz.xx"),
+]
+
+
+@pytest.mark.parametrize("host,expected", DOMAIN_VECTORS)
+def test_registered_domain_golden(host, expected):
+    assert contacts.registered_domain(host) == expected
