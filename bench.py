@@ -44,6 +44,9 @@ HEADLINE = [
     "minhash_signatures",
     "ann_cosine_topk",
     "embedding_neardup",
+    "embedding_neardup_lsh",
+    "simhash_hamming_pairs",
+    "lsh_topk_recall",
 ]
 
 

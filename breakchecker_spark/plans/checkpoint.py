@@ -122,7 +122,9 @@ class CheckpointStore:
         url_seen table uses it with a key_hash bucket so membership
         probes can prune buckets and never shuffle the seen side."""
         self._write(table, df, round_no, partition_by=partition_by)
-        self._pending[table] = self._committed_versions(table) + [round_no]
+        # chain off an earlier same-commit staging (compaction) if any
+        base = self._pending.get(table, self._committed_versions(table))
+        self._pending[table] = list(base) + [round_no]
         return parquet_rows(self._dir(table, round_no))
 
     def commit(self, round_no: int, extra: dict | None = None) -> None:
@@ -138,6 +140,62 @@ class CheckpointStore:
             json.dump(manifest, fh)
         os.replace(tmp, self._manifest_path)
         self._pending = {}
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        round_no: int,
+        partition_by: str | None = None,
+        min_versions: int = 8,
+    ) -> bool:
+        """Merge an append table's committed versions into one.
+
+        The Iceberg ``rewrite_data_files`` maintenance analogue: after
+        many rounds an append table is hundreds of small delta files
+        (versions × buckets for url_seen); readers pay listing + open
+        cost per file. Compaction reads every live version and writes
+        one consolidated version dir (tagged ``<round>c``), staged as
+        the only live version; the round's own delta then appends on
+        top of it and the next commit() publishes both atomically — a
+        kill mid-compaction leaves the old manifest and every old
+        version dir intact. Superseded dirs are removed by gc() after
+        the commit.
+
+        No-op (returns False) unless the table has ≥ ``min_versions``
+        committed versions. Call before stage_append for the round.
+        """
+        versions = self._committed_versions(table)
+        if len(versions) < min_versions:
+            return False
+        df = self.read(spark, table)
+        if df is None:
+            return False
+        tag = f"{round_no}c"
+        self._write(table, df, tag, partition_by=partition_by)
+        self._pending[table] = [tag]
+        return True
+
+    def gc(self) -> int:
+        """Delete version dirs no committed manifest references.
+
+        Safe only after commit(): anything not in the manifest is
+        either a superseded (compacted-away) version or an orphan from
+        a killed round. Returns the number of dirs removed."""
+        m = self.manifest()
+        if m is None:
+            return 0
+        removed = 0
+        for table in os.listdir(self.root):
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            live = {f"v{v}" for v in m["tables"].get(table, [])}
+            for d in os.listdir(tdir):
+                if d.startswith("v") and d not in live:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+                    removed += 1
+        return removed
 
     def read(self, spark: SparkSession, table: str) -> Optional[DataFrame]:
         """Read a table at its last committed state (None if absent).

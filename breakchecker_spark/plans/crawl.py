@@ -76,6 +76,10 @@ class CrawlConfig:
     # broadcast confirm (the 10^10-key path); "anti" = plain anti-join
     # (AQE broadcasts the seen side while it is small)
     seen_join: str = "broadcast"
+    # compact append tables (url_seen/contacts/metrics) every this many
+    # rounds once they hold that many delta versions — the Iceberg
+    # rewrite_data_files maintenance analogue. 0 disables.
+    compact_every: int = 16
     checkpoint_dir: Optional[str] = None
     run_id: str = "run0"
     max_rounds: int = 1000
@@ -329,6 +333,25 @@ def run_crawl(
             )
 
         if store is not None:
+            if config.compact_every and (round_no + 1) % config.compact_every == 0:
+                # Iceberg-style maintenance: fold accumulated deltas
+                # into one version per append table before this round's
+                # delta stages on top (kill-safe — publishes with the
+                # round's atomic commit; old dirs gc'd after).
+                store.compact(
+                    spark,
+                    "url_seen",
+                    round_no,
+                    partition_by="bucket" if config.seen_buckets else None,
+                    min_versions=config.compact_every,
+                )
+                store.compact(
+                    spark, "contacts", round_no, min_versions=config.compact_every
+                )
+                store.compact(
+                    spark, "metrics", round_no, min_versions=config.compact_every
+                )
+                tt = _tlog(f"r{round_no} compact", t0)
             # Stage contacts first: it materializes every shared cache
             # (eligible, harvested pages, contact rows). The remaining
             # tables then read caches only, so they stage concurrently
@@ -369,6 +392,7 @@ def run_crawl(
             store.commit(
                 round_no, {"run_id": config.run_id, "frontier_rows": frontier_rows}
             )
+            store.gc()  # drop compacted-away / orphan version dirs
             frontier = store.read(spark, "frontier")
             url_seen = store.read(spark, "url_seen")
             all_contacts = store.read(spark, "contacts")

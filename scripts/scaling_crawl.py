@@ -1,0 +1,109 @@
+"""Crawl-replay N→4N scaling supplement (frontier URLs/sec metric).
+
+Same controls as scaling_run.py (fresh JVM per level, warmed page
+cache, interleaved pairs, median of per-pair ratios) but times ONLY
+the full crawl replay, so the corpus can be large enough for the
+per-round fixed cost (staging jobs, atomic commit, bloom merge — a
+constant per round, not per row) to amortize against per-page work.
+At 10k pages the fixed cost is ~half the wall clock and caps measured
+crawl "efficiency" near 0.6 regardless of engine scaling; the
+extraction metric in scaling_run.py is clean of it, and this runner
+shows the crawl metric converging toward it as pages/round grow.
+
+Usage: python scripts/scaling_crawl.py [n_small] [n_pages] [n_pairs] [filler_blocks]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, os, sys, time, tempfile, shutil
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from breakchecker_spark.session import get_spark
+from breakchecker_spark.plans.crawl import CrawlConfig, run_crawl
+from breakchecker_spark.sources import pagegen
+
+cpus = {cpus}
+n_pages = {n_pages}
+filler = {filler}
+spark = get_spark(app_name=f"scalecrawl{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=max(cpus, 4),
+                  extra_conf={{"spark.driver.memory": "32g",
+                               "spark.sql.files.maxPartitionBytes": "8m"}})
+pages_path = os.path.join({repo!r}, ".bench", f"pages_{{n_pages}}_f{{filler}}")
+pagegen.materialize(spark, n_pages, pages_path, filler_blocks=filler)
+pages = spark.read.parquet(pages_path)
+pages.select(F.sum(F.length("html")), F.sum(F.length("text"))).collect()
+
+seeds = pagegen.seeds_df(spark)
+ckpt = tempfile.mkdtemp(prefix="scalec_ckpt_")
+cfg = CrawlConfig(scope_host=pagegen.ORG, max_depth=12, use_bloom=True,
+                  bloom_parts=32, bloom_expected_per_part=max(n_pages // 16, 1000),
+                  checkpoint_dir=ckpt, run_id=f"scalec{{cpus}}")
+t0 = time.time()
+res = run_crawl(spark, seeds, pages, cfg)
+visited = res.summary["num_endpoints"]
+crawl_ids = res.contacts.count()
+secs = time.time() - t0
+shutil.rmtree(ckpt, ignore_errors=True)
+print("SCALERESULT " + json.dumps({{
+    "cpus": cpus, "pages": n_pages, "visited": visited,
+    "crawl_identifiers": crawl_ids, "crawl_seconds": round(secs, 2),
+    "frontier_urls_per_sec": round(visited / secs, 1),
+}}))
+"""
+
+
+def run_level(cpus: int, n_pages: int, filler: int) -> dict:
+    code = _CHILD.format(repo=REPO, cpus=cpus, n_pages=n_pages, filler=filler)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("SCALERESULT "):
+            return json.loads(line[len("SCALERESULT "):])
+    raise RuntimeError(
+        f"no result from local[{cpus}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    n_pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    filler = int(sys.argv[4]) if len(sys.argv) > 4 else 160
+    n_big = n_small * 4
+
+    pairs = []
+    for i in range(n_pairs):
+        s = run_level(n_small, n_pages, filler)
+        b = run_level(n_big, n_pages, filler)
+        pairs.append((s, b))
+        print(json.dumps({"pair": i, "small_crawl_s": s["crawl_seconds"],
+                          "big_crawl_s": b["crawl_seconds"]}), flush=True)
+
+    eff = statistics.median(
+        (b["frontier_urls_per_sec"] / s["frontier_urls_per_sec"]) / 4 for s, b in pairs
+    )
+    report = {
+        "n": n_small, "4n": n_big, "pages": n_pages, "filler": filler,
+        "pairs": [
+            {"small": s, "big": b} for s, b in pairs
+        ],
+        "scaling_efficiency_crawl": round(eff, 3),
+    }
+    with open(os.path.join(REPO, "BENCH", "scaling_crawl.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
