@@ -12,9 +12,10 @@ Scale design (10^10 seen URLs):
 * the exact ``url_seen`` table is written directory-partitioned by
   ``bucket = pmod(key_hash, N)`` (checkpoint store), and the exact
   membership check never shuffles it: bloom survivors are broadcast
-  into a map-side semi join against the scan (with the bucket key in
-  the join so DPP can skip bucket dirs), and the confirmed-seen set —
-  smaller still — is broadcast back into the final anti-join;
+  into a map-side semi join against the scan, and the confirmed-seen
+  set — smaller still — is broadcast back into the final anti-join;
+  ``prune_buckets`` pushes an explicit ``bucket IN`` partition filter
+  into the scan (measured: Spark's DPP does not fire for this shape);
 * the bloom filter is itself a table of (part_id, bitset) rows,
   co-grouped with candidates via ``cogroup().applyInPandas`` — no
   driver state, no whole-filter broadcast;
@@ -125,6 +126,7 @@ def filter_new(
     seen_buckets: int | None = None,
     cache_registry: list | None = None,
     strategy: str = "broadcast",
+    prune_buckets: bool = False,
 ) -> DataFrame:
     """Candidates whose struct key is not in the seen set.
 
@@ -139,8 +141,19 @@ def filter_new(
     set is broadcast back into an anti-join. When ``seen_buckets`` is
     set and the seen table carries the matching ``bucket`` column
     (written directory-partitioned by the checkpoint store), the semi
-    join includes the bucket key so dynamic partition pruning can skip
-    whole bucket directories of the scan.
+    join includes the bucket key.
+
+    ``prune_buckets=True`` additionally collects the survivors'
+    distinct bucket list (bounded by ``seen_buckets``; reads the
+    cached probe when a ``cache_registry`` is passed) and pushes a
+    static ``bucket IN (...)`` partition filter into the seen scan —
+    measured: Spark 4.1 does NOT emit a dynamic-partition-pruning
+    filter for this broadcast-semi shape, so directory skipping needs
+    the explicit filter. Costs one small driver action per call; the
+    shuffle-free property holds either way, so this matters only when
+    the scan itself (not the shuffle) dominates — e.g. 10^10 keys in
+    many buckets with a candidate round touching few of them. (On
+    Iceberg the same effect comes from storage-partitioned joins.)
 
     ``cache_registry``: the probed candidate frame feeds three branches
     (definitely-new, broadcast build, final anti-join); when a list is
@@ -189,7 +202,11 @@ def filter_new(
         surv_keys = survivors.select("key_hash").withColumn(
             "bucket", F.pmod(F.col("key_hash"), F.lit(seen_buckets)).cast("int")
         )
-        confirmed = seen.select("bucket", "key_hash").join(
+        seen_side = seen.select("bucket", "key_hash")
+        if prune_buckets:
+            hit = [r["bucket"] for r in surv_keys.select("bucket").distinct().collect()]
+            seen_side = seen_side.filter(F.col("bucket").isin(hit))
+        confirmed = seen_side.join(
             F.broadcast(surv_keys), ["bucket", "key_hash"], "left_semi"
         )
     else:

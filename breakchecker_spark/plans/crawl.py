@@ -68,10 +68,15 @@ class CrawlConfig:
     bloom_parts: int = 32
     bloom_expected_per_part: int = 100_000
     # url_seen bucket count: deltas are written directory-partitioned
-    # by pmod(key_hash, seen_buckets) so the exact membership check can
-    # prune buckets and never shuffles the seen side (operators/seen.py).
-    # 0 disables the bucketed layout.
+    # by pmod(key_hash, seen_buckets); the exact membership check never
+    # shuffles the seen side (operators/seen.py). 0 disables the
+    # bucketed layout.
     seen_buckets: int = 32
+    # collect survivors' bucket list and push an explicit bucket IN
+    # partition filter into the seen scan (one extra driver action per
+    # round; worth it when the seen scan dominates — huge seen table,
+    # narrow rounds)
+    prune_seen_buckets: bool = False
     # exact-membership strategy: "broadcast" = shuffle-free two-step
     # broadcast confirm (the 10^10-key path); "anti" = plain anti-join
     # (AQE broadcasts the seen side while it is small)
@@ -233,6 +238,7 @@ def run_crawl(
             seen_buckets=config.seen_buckets or None,
             cache_registry=round_caches,
             strategy=config.seen_join,
+            prune_buckets=config.prune_seen_buckets,
         )
         live = _dedup_frontier(live)
 
@@ -296,6 +302,7 @@ def run_crawl(
             seen_buckets=config.seen_buckets or None,
             cache_registry=round_caches,
             strategy=config.seen_join,
+            prune_buckets=config.prune_seen_buckets,
         )
         if config.host_budget is None and host_budgets is None:
             # no deferrals possible — skip the anti-join and the union
