@@ -82,11 +82,12 @@ def region_for_domain(domain: str) -> Optional[str]:
 # ------------------------------------------------------ registered domain
 
 # Embedded multi-label public-suffix subset (tldextract replacement):
-# every ICANN multi-label suffix family for the TLDs in TLD_REGION plus
-# the highest-traffic private-registry suffixes (github.io-class).
-# Generated from the public-suffix list's public entries; wildcard
-# rules (*.compute.amazonaws.com-style) are out of scope — documented
-# deviation.
+# every ICANN multi-label suffix family for the TLDs in TLD_REGION.
+# ICANN entries ONLY — the reference constructs tldextract with
+# defaults (include_psl_private_domains=False, break_checker.py:1234),
+# so private-registry suffixes (github.io, blogspot.com, ...) are NOT
+# public suffixes there: registered_domain("user.github.io") must be
+# "github.io", exactly as tldextract returns.
 _MULTI_SUFFIXES = frozenset(
     """co.uk org.uk ac.uk gov.uk me.uk net.uk ltd.uk plc.uk sch.uk nhs.uk
        com.au net.au org.au edu.au gov.au asn.au id.au
@@ -120,11 +121,46 @@ _MULTI_SUFFIXES = frozenset(
        com.pt edu.pt gov.pt int.pt net.pt org.pt
        com.es nom.es org.es gob.es edu.es
        co.id net.id or.id web.id sch.id ac.id go.id mil.id biz.id my.id
-       co.th net.th or.th ac.th go.th in.th mi.th
-       github.io gitlab.io blogspot.com herokuapp.com netlify.app
-       vercel.app pages.dev web.app firebaseapp.com appspot.com
-       wordpress.com""".split()
+       co.th net.th or.th ac.th go.th in.th mi.th""".split()
 )
+
+# ICANN wildcard rules (`*.<parent>`): EVERY direct child label of the
+# parent is itself a public suffix (PSL spec, publicsuffix.org/list).
+# Embedded subset: the bare-ccTLD wildcards plus the Japanese
+# geographic wildcards relevant to the .jp families above.
+_WILDCARD_PARENTS = frozenset(
+    """bd ck er fk jm kh mm np pg
+       kawasaki.jp kitakyushu.jp kobe.jp nagoya.jp sapporo.jp
+       sendai.jp yokohama.jp""".split()
+)
+
+# ICANN exception rules (`!<name>`): carve-outs from a wildcard — the
+# named host is NOT a suffix (its tail is), so it is itself registrable.
+_WILDCARD_EXCEPTIONS = frozenset(
+    """www.ck
+       city.kawasaki.jp city.kitakyushu.jp city.kobe.jp city.nagoya.jp
+       city.sapporo.jp city.sendai.jp city.yokohama.jp""".split()
+)
+
+
+def _suffix_labels(labels: list[str]) -> int:
+    """Number of trailing labels forming the public suffix (≥1).
+
+    PSL resolution order (publicsuffix.org algorithm): exception rules
+    beat wildcards; wildcards beat explicit rules; explicit multi-label
+    rules beat the implicit one-label default.
+    """
+    # exception `!www.ck`: suffix is the exception minus its first label
+    for take in (3, 2):
+        if len(labels) >= take and ".".join(labels[-take:]) in _WILDCARD_EXCEPTIONS:
+            return take - 1
+    # wildcard `*.ck`: <anything>.<parent> is a suffix
+    for plen in (2, 1):
+        if len(labels) > plen and ".".join(labels[-plen:]) in _WILDCARD_PARENTS:
+            return plen + 1
+    if len(labels) >= 2 and ".".join(labels[-2:]) in _MULTI_SUFFIXES:
+        return 2
+    return 1
 
 
 def registered_domain(hostname: str) -> str:
@@ -132,19 +168,18 @@ def registered_domain(hostname: str) -> str:
 
     ``mail.sub.example.co.uk`` → ``example.co.uk``;
     ``a.b.example.com`` → ``example.com``;
-    ``user.github.io`` → ``user.github.io`` (private-registry suffix).
-    Empty string when the name has no dot-separated suffix (reference
-    uses tldextract's ``top_domain_under_public_suffix``,
-    break_checker.py:1234-1237).
+    ``user.github.io`` → ``github.io`` (private registries are not
+    suffixes — tldextract defaults, break_checker.py:1234-1237);
+    ``foo.bar.ck`` → ``foo.bar.ck`` (wildcard ``*.ck``);
+    ``sub.www.ck`` → ``www.ck`` (exception ``!www.ck``).
+    Empty string when the host has no label under its public suffix
+    (tldextract's ``top_domain_under_public_suffix`` returns "").
     """
     labels = hostname.lower().strip(".").split(".")
-    if len(labels) < 2:
+    ns = _suffix_labels(labels)
+    if len(labels) <= ns:
         return ""
-    if ".".join(labels[-2:]) in _MULTI_SUFFIXES:
-        # suffix consumes two labels → org domain is three (when the
-        # host is exactly the suffix, tldextract yields no org domain)
-        return ".".join(labels[-3:]) if len(labels) >= 3 else ""
-    return ".".join(labels[-2:])
+    return ".".join(labels[-(ns + 1):])
 
 
 # ------------------------------------------------------------ email side

@@ -118,21 +118,38 @@ def jaccard_pairs(
     lossy df cap. The candidate join shuffles only prefix rows
     (≤ (1-t)·n + 1 per doc); verification shuffles shingle arrays for
     candidate docs only.
-    """
-    from pyspark.sql import Window
 
+    Prefix selection is a single hash aggregation per doc —
+    ``slice(array_sort(collect_list(struct(df, shingle))))`` — not a
+    window rank: a window would sort-shuffle every exploded (id,
+    shingle, df) row globally per partition, while the aggregate sorts
+    each doc's (small) array after a hash shuffle (r2 verdict item).
+    """
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    exploded = sh.select("id", F.explode("sh").alias("shingle"))
+    # map-side partial count: this shuffle carries ~distinct shingles
+    # per task, not full exploded rows
     dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = exploded.join(dfreq, "shingle")
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    w = Window.partitionBy("id").orderBy("df", "shingle")
+    # n_sh == exploded rows per id (shingles are array_distinct'ed),
+    # so one aggregation yields both the count and the df-sorted prefix
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+    ).cast("int")
     prefix = (
-        ranked.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= prefix_len)
-        .select("id", "n_sh", "shingle")
+        ranked.groupBy("id")
+        .agg(
+            F.count("*").cast("int").alias("n_sh"),
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ord"),
+        )
+        .select(
+            "id",
+            "n_sh",
+            F.explode(F.slice("ord", F.lit(1), prefix_len)).alias("p"),
+        )
+        .select("id", "n_sh", F.col("p.shingle").alias("shingle"))
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (

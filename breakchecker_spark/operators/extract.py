@@ -23,9 +23,29 @@ from __future__ import annotations
 
 from typing import Tuple
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from ..functions import udfs
+
+
+class DropCounters:
+    """Exact kept/dropped counters (reference bc:1238-1241), computed
+    for free inside whatever action first materializes the contacts
+    plan (``df.observe`` / CollectMetrics — no separate count job).
+
+    ``get()`` blocks until that action completes, then returns
+    [(metric, value), ...].
+    """
+
+    def __init__(self, email_obs: Observation, phone_obs: Observation) -> None:
+        self._email_obs = email_obs
+        self._phone_obs = phone_obs
+
+    def get(self) -> list[tuple[str, int]]:
+        return [
+            ("emails_dropped", int(self._email_obs.get["value"])),
+            ("phones_dropped", int(self._phone_obs.get["value"])),
+        ]
 
 _JS_PATH = r"\.m?js$"
 
@@ -50,8 +70,10 @@ def process_pages(
       per page, ready for the seen filter;
     * contacts: (kind, identifier, source_url, depth) normalized, org-
       scoped (emails) / region-validated (phones);
-    * drop_metrics: (metric, value) exact kept/dropped counts
-      (reference counters bc:1238-1241);
+    * drops: a :class:`DropCounters` — exact kept/dropped counts
+      (reference counters bc:1238-1241), observed inside the action
+      that materializes contacts (no separate aggregation job; call
+      ``drops.get()`` only after that action);
     * caches: cached intermediate DataFrames — caller unpersists them
       once the round's outputs are materialized.
     """
@@ -119,7 +141,7 @@ def process_pages(
     )
 
     # ---- contacts ---------------------------------------------------
-    email_rows = (
+    email_rows_c = (
         enriched.select("url", "depth", F.explode("emails_raw").alias("_raw_id"))
         .withColumn("identifier", udfs.normalize_email(F.col("_raw_id")))
         .withColumn(
@@ -130,13 +152,31 @@ def process_pages(
             ).otherwise(F.lit(False)),
         )
     ).cache()
-    phone_rows = (
+    phone_rows_c = (
         enriched.select("url", "depth", F.explode("phones_raw").alias("_raw_id"))
         .withColumn(
             "identifier",
             udfs.normalize_phone(F.col("_raw_id"), F.lit(default_region)),
         )
     ).cache()
+
+    # ---- exact kept/dropped counters, observed in-band --------------
+    # CollectMetrics nodes sit below the keep-filters, so the counts
+    # ride along with the contacts-materializing action instead of a
+    # second scan job per round (r2 verdict: cut fixed round cost).
+    email_obs, phone_obs = Observation(), Observation()
+    email_rows = email_rows_c.observe(
+        email_obs,
+        F.coalesce(
+            F.sum(F.when(~F.col("_org_ok"), 1).otherwise(0)), F.lit(0)
+        ).alias("value"),
+    )
+    phone_rows = phone_rows_c.observe(
+        phone_obs,
+        F.coalesce(
+            F.sum(F.when(F.col("identifier").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("value"),
+    )
 
     contacts = (
         email_rows.filter(F.col("_org_ok"))
@@ -156,24 +196,8 @@ def process_pages(
         )
     )
 
-    # ---- exact kept/dropped metrics (bc:1238-1241 counters) --------
-    drop_metrics = email_rows.agg(
-        F.lit("emails_dropped").alias("metric"),
-        F.coalesce(
-            F.sum(F.when(~F.col("_org_ok"), 1).otherwise(0)), F.lit(0)
-        ).alias("value"),
-    ).unionByName(
-        phone_rows.agg(
-            F.lit("phones_dropped").alias("metric"),
-            F.coalesce(
-                F.sum(F.when(F.col("identifier").isNull(), 1).otherwise(0)),
-                F.lit(0),
-            ).alias("value"),
-        )
-    )
-
-    caches = [enriched, email_rows, phone_rows]
-    return link_candidates, contacts, drop_metrics, caches
+    caches = [enriched, email_rows_c, phone_rows_c]
+    return link_candidates, contacts, DropCounters(email_obs, phone_obs), caches
 
 
 def dedup_contacts(contacts: DataFrame) -> DataFrame:

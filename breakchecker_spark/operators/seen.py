@@ -127,6 +127,7 @@ def filter_new(
     cache_registry: list | None = None,
     strategy: str = "broadcast",
     prune_buckets: bool = False,
+    max_broadcast_rows: int | None = 4_000_000,
 ) -> DataFrame:
     """Candidates whose struct key is not in the seen set.
 
@@ -158,6 +159,15 @@ def filter_new(
     ``cache_registry``: the probed candidate frame feeds three branches
     (definitely-new, broadcast build, final anti-join); when a list is
     passed it is cached once and appended for caller-side unpersist.
+
+    ``max_broadcast_rows``: broadcast-safety guard. Bloom survivors are
+    *not* inherently bounded — on real sites most extracted links point
+    at already-seen URLs, so survivors scale with the round's duplicate
+    links, and an unguarded broadcast at 10^10-key scale risks driver
+    OOM. When the probe is cached (cache_registry passed), survivors
+    are counted (one cheap job over the cache) and the plan falls back
+    to the shuffling ``anti`` strategy above the threshold. None
+    disables the guard.
     """
     if bloom_table is None:
         return candidates.join(seen.select("key_hash"), "key_hash", "left_anti")
@@ -191,6 +201,14 @@ def filter_new(
         cache_registry.append(probed)
     definitely_new = probed.filter(~F.col("maybe_seen")).select(*cand_cols)
     survivors = probed.filter(F.col("maybe_seen")).select(*cand_cols)
+
+    if (
+        strategy == "broadcast"
+        and max_broadcast_rows is not None
+        and cache_registry is not None
+        and survivors.count() > max_broadcast_rows
+    ):
+        strategy = "anti"
 
     if strategy == "anti":
         new_survivors = survivors.join(

@@ -29,6 +29,7 @@ import os
 import shutil
 from typing import Dict, List, Optional
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -98,7 +99,9 @@ class CheckpointStore:
             writer = df.repartition(F.col(partition_by)).write.mode(
                 "overwrite"
             ).partitionBy(partition_by)
-        writer.parquet(path)
+        # zstd: ~2× smaller staged deltas than snappy at equal write
+        # cost — staging bytes are the measured non-scaling phase
+        writer.option("compression", "zstd").parquet(path)
 
     def stage_replace(self, table: str, df: DataFrame, round_no: int) -> int:
         """Write a full new version; commit makes it the only live one.
@@ -140,6 +143,49 @@ class CheckpointStore:
             json.dump(manifest, fh)
         os.replace(tmp, self._manifest_path)
         self._pending = {}
+
+    def stage_append_rows(
+        self,
+        table: str,
+        rows: List[dict],
+        schema: "pa.Schema",
+        round_no: int,
+    ) -> int:
+        """Append a tiny driver-side delta with pyarrow — NO Spark job.
+
+        The metrics table is a handful of rows per round; staging it
+        through a Spark write was a whole job of fixed scheduler cost
+        per round (r2 verdict). Spark reads the pyarrow-written file
+        back exactly like its own output."""
+        path = self._dir(table, round_no)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        tbl = pa.Table.from_pylist(rows, schema=schema)
+        pq.write_table(
+            tbl, os.path.join(path, "part-00000.parquet"), compression="zstd"
+        )
+        base = self._pending.get(table, self._committed_versions(table))
+        self._pending[table] = list(base) + [round_no]
+        return tbl.num_rows
+
+    def stage_rewrite(
+        self,
+        table: str,
+        df: DataFrame,
+        tag: str | int,
+        partition_by: str | None = None,
+    ) -> str:
+        """Stage a full rewrite of an append table as its only version.
+
+        Used for one-time layout migrations (e.g. re-deriving the
+        url_seen bucket column after a ``seen_buckets`` config change);
+        published atomically by the next commit(), exactly like
+        compact(). Returns the staged directory path so the caller can
+        re-read it (truncating plan lineage)."""
+        self._write(table, df, tag, partition_by=partition_by)
+        self._pending[table] = [tag]
+        return self._dir(table, tag)
 
     def compact(
         self,

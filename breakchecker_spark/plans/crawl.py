@@ -46,6 +46,19 @@ from .checkpoint import CheckpointStore
 
 _DEBUG_TIMING = os.environ.get("SPARK_GRAFT_DEBUG_TIMING", "") == "1"
 
+# metrics deltas are written driver-side with pyarrow (no Spark job);
+# types mirror plans.crawl's metrics schema exactly
+import pyarrow as _pa
+
+_METRICS_ARROW = _pa.schema(
+    [
+        ("run_id", _pa.string()),
+        ("round", _pa.int32()),
+        ("metric", _pa.string()),
+        ("value", _pa.int64()),
+    ]
+)
+
 
 def _tlog(label: str, t0: float) -> float:
     """Per-phase stderr timing, enabled by SPARK_GRAFT_DEBUG_TIMING=1."""
@@ -172,7 +185,7 @@ def run_crawl(
     """
     store = CheckpointStore(config.checkpoint_dir) if config.checkpoint_dir else None
 
-    seen_schema = "key_hash long, struct_key string, url string, depth int"
+    seen_schema = "key_hash long, url string, depth int"
     if config.seen_buckets:
         seen_schema += ", bucket int"
     empty_seen = spark.createDataFrame([], seen_schema)
@@ -186,12 +199,44 @@ def run_crawl(
     start_round = 0
     bloom_table = None
     if resume and store is not None and store.manifest() is not None:
+        start_round = store.last_round() + 1
         frontier = store.read(spark, "frontier")
         url_seen = store.read(spark, "url_seen")
+        ckpt_buckets = store.manifest().get("seen_buckets", 0)
+        want_buckets = config.seen_buckets or 0
+        if url_seen is not None and ckpt_buckets != want_buckets:
+            # Checkpoint written under a different bucket modulus (or a
+            # legacy manifest without the field): on-disk bucket values
+            # no longer equal pmod(key_hash, N), so the (bucket,
+            # key_hash) membership semi-join would silently miss seen
+            # keys and re-crawl them. Re-derive the column and stage a
+            # one-time rewrite, published atomically with this round's
+            # commit (a kill before that leaves the old state intact).
+            if "bucket" in url_seen.columns:
+                url_seen = url_seen.drop("bucket")
+            if want_buckets:
+                url_seen = url_seen.withColumn(
+                    "bucket",
+                    F.pmod(F.col("key_hash"), F.lit(want_buckets)).cast("int"),
+                )
+            rb_path = store.stage_rewrite(
+                "url_seen",
+                url_seen,
+                f"{start_round}rb",
+                partition_by="bucket" if want_buckets else None,
+            )
+            import glob as _glob
+
+            if _glob.glob(
+                os.path.join(rb_path, "**", "*.parquet"), recursive=True
+            ):
+                url_seen = spark.read.parquet(rb_path)
         all_contacts = store.read(spark, "contacts")
         metrics = store.read(spark, "metrics")
         bloom_table = store.read(spark, "bloom") if config.use_bloom else None
         if config.use_bloom and bloom_table is None and url_seen is not None:
+            # (bloom keys are key_hash only — bucketing changes above
+            # don't invalidate a committed filter)
             # Checkpoint was written with use_bloom=False. The round loop
             # ORs per-round deltas into the running filter, so a None
             # start would make round-1's delta-only bloom masquerade as
@@ -201,7 +246,6 @@ def run_crawl(
             bloom_table = seen.build_bloom(
                 url_seen, config.bloom_parts, config.bloom_expected_per_part
             ).localCheckpoint(eager=True)
-        start_round = store.last_round() + 1
     else:
         if store is not None and store.manifest() is not None:
             # fresh run over a dirty checkpoint dir: drop the old state,
@@ -249,8 +293,11 @@ def run_crawl(
         )
         eligible = eligible.cache()
 
-        # 3. mark visited BEFORE the fetch join (bc:1344-1346)
-        new_seen = eligible.select("key_hash", "struct_key", "url", "depth")
+        # 3. mark visited BEFORE the fetch join (bc:1344-1346).
+        # struct_key is intentionally not persisted: key_hash carries
+        # membership, url/depth carry reporting — the string key would
+        # double the staged bytes per round for nothing.
+        new_seen = eligible.select("key_hash", "url", "depth")
         if config.seen_buckets:
             new_seen = new_seen.withColumn(
                 "bucket",
@@ -286,7 +333,7 @@ def run_crawl(
             )
 
         # 5. extract + expand
-        link_cands, round_contacts, drop_metrics, caches = extract.process_pages(
+        link_cands, round_contacts, drops, caches = extract.process_pages(
             fetched, config.scope_host, config.default_region, config.org_domain
         )
         candidates = link_cands.filter(F.col("depth") <= config.max_depth)
@@ -317,27 +364,20 @@ def run_crawl(
         # Row counts come from the staged parquet footers — no count jobs.
         tt = _tlog(f"r{round_no} plan", t0)
 
-        def _round_metrics(n_eligible: int, n_contacts: int) -> DataFrame:
-            return spark.createDataFrame(
-                [
-                    (config.run_id, round_no, "frontier_urls", n_eligible),
-                    (config.run_id, round_no, "contacts_extracted", n_contacts),
-                    (
-                        config.run_id,
-                        round_no,
-                        "round_millis",
-                        int((time.time() - t0) * 1000),
-                    ),
-                ],
-                schema=empty_metrics.schema,
-            ).unionByName(
-                drop_metrics.select(
-                    F.lit(config.run_id).alias("run_id"),
-                    F.lit(round_no).alias("round"),
-                    "metric",
-                    F.col("value").cast("long"),
-                )
-            )
+        def _metric_rows(n_eligible: int, n_contacts: int) -> list[tuple]:
+            """Driver-side metric tuples; call only after the contacts
+            plan has materialized (DropCounters.get blocks on it)."""
+            rows = [
+                (config.run_id, round_no, "frontier_urls", n_eligible),
+                (config.run_id, round_no, "contacts_extracted", n_contacts),
+                (config.run_id, round_no, "round_millis",
+                 int((time.time() - t0) * 1000)),
+            ]
+            rows += [
+                (config.run_id, round_no, metric, int(value))
+                for metric, value in drops.get()
+            ]
+            return rows
 
         if store is not None:
             if config.compact_every and (round_no + 1) % config.compact_every == 0:
@@ -392,12 +432,25 @@ def run_crawl(
                 f"r{round_no} stage seen={n_eligible} frontier={frontier_rows} bloom",
                 tt,
             )
-            store.stage_append(
-                "metrics", _round_metrics(n_eligible, n_contacts), round_no
+            store.stage_append_rows(
+                "metrics",
+                [
+                    dict(zip(("run_id", "round", "metric", "value"), r))
+                    for r in _metric_rows(n_eligible, n_contacts)
+                ],
+                _METRICS_ARROW,
+                round_no,
             )
             tt = _tlog(f"r{round_no} stage metrics", tt)
             store.commit(
-                round_no, {"run_id": config.run_id, "frontier_rows": frontier_rows}
+                round_no,
+                {
+                    "run_id": config.run_id,
+                    "frontier_rows": frontier_rows,
+                    # bucket modulus the url_seen layout was written
+                    # with — validated on resume (rebucket on mismatch)
+                    "seen_buckets": config.seen_buckets or 0,
+                },
             )
             store.gc()  # drop compacted-away / orphan version dirs
             frontier = store.read(spark, "frontier")
@@ -417,7 +470,10 @@ def run_crawl(
                 eager=True
             )
             metrics = metrics.unionByName(
-                _round_metrics(n_eligible, n_contacts)
+                spark.createDataFrame(
+                    _metric_rows(n_eligible, n_contacts),
+                    schema=empty_metrics.schema,
+                )
             ).localCheckpoint(eager=True)
             if bloom_next is not None:
                 bloom_table = bloom_next.localCheckpoint(eager=True)

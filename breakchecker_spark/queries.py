@@ -438,6 +438,106 @@ def lsh_topk_recall(spark, sf_dir):
     )
 
 
+def minhash_lsh_band_pairs(spark, sf_dir):
+    """Banded-minhash candidate pairs — the canonical 100 TB dedup
+    path. 4 hashes × 2 bands; the DuckDB oracle re-derives the exact
+    md5 signatures AND band buckets, so the whole LSH construction
+    (not just recall) sits under the hash gate."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=4, bands=2, k=3
+    ).orderBy("id_a", "id_b")
+
+
+def seen_filter_new(spark, sf_dir):
+    """The engine's actual URL-seen membership plan (bloom cogroup →
+    bucketed broadcast semi-confirm → broadcast anti) run over real
+    parquet, vs a plain NOT IN oracle: proves the custom path
+    value-exact under the driver gate, not just test-exact.
+
+    Keys: distinct event users; seen set: users with a high-value
+    click (selective predicate → non-trivial survivors at every sf)."""
+    from .operators import seen as seen_ops
+
+    ev = _t(spark, sf_dir, "events")
+    cands = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("key_hash", F.xxhash64("user_id"))
+    )
+    seen_df = (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") > 150))
+        .select("user_id")
+        .distinct()
+        .select(F.xxhash64("user_id").alias("key_hash"))
+        .withColumn("bucket", F.pmod(F.col("key_hash"), F.lit(8)).cast("int"))
+    )
+    bloom_table = seen_ops.build_bloom(seen_df, n_parts=8, expected_per_part=50_000)
+    out = seen_ops.filter_new(
+        cands,
+        seen_df,
+        bloom_table,
+        n_parts=8,
+        seen_buckets=8,
+        strategy="broadcast",
+    )
+    return out.select("user_id").orderBy("user_id")
+
+
+def multimodal_decoded_stats(spark, sf_dir):
+    """REAL multimodal decode under the oracle gate: a 5×3 24-bit BMP
+    (row stride 15 → 4-byte padding exercised) and a 16-frame mono
+    16-bit WAV are synthesized per doc_id, then decoded by the genuine
+    parsers (header/offset/padding/bottom-up/BGR for BMP; stdlib wave
+    for WAV). Output = integer pixel/sample sums + decoded shapes; the
+    oracle recomputes them arithmetically — a decoder misreading any
+    header field, stride, or channel order fails the hash gate."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as mm
+
+    schema = (
+        "doc_id long, bmp_sum long, bmp_w int, bmp_h int, "
+        "wav_sum long, wav_frames int"
+    )
+
+    def _gen_decode(batches):
+        pi = np.arange(5 * 3 * 3, dtype=np.int64)
+        si = np.arange(16, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                px = ((did + pi) % 256).astype(np.uint8).reshape(3, 5, 3)
+                img = mm.decode_bmp(mm.encode_bmp(px))
+                smp = (((did * 7 + si * 13) % 4001) - 2000).astype(
+                    np.int16
+                ).reshape(16, 1)
+                wav = mm.decode_wav(mm.encode_wav(smp))
+                rows.append(
+                    (
+                        int(did),
+                        int(img.astype(np.int64).sum()),
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        int(wav.astype(np.int64).sum()),
+                        int(wav.shape[0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "bmp_sum", "bmp_w", "bmp_h",
+                    "wav_sum", "wav_frames",
+                ],
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_gen_decode, schema=schema).orderBy("doc_id")
+
+
 def multimodal_binary_meta(spark, sf_dir):
     """Binary-column plumbing: payload synthesized from text bytes."""
     docs = _t(spark, sf_dir, "documents")
@@ -519,6 +619,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "simhash_hamming_pairs": simhash_hamming_pairs,
     "lsh_topk_recall": lsh_topk_recall,
+    "minhash_lsh_band_pairs": minhash_lsh_band_pairs,
+    "seen_filter_new": seen_filter_new,
+    "multimodal_decoded_stats": multimodal_decoded_stats,
     "multimodal_binary_meta": multimodal_binary_meta,
     "crawl_frontier_bfs": crawl_frontier_bfs,
 }
@@ -527,6 +630,12 @@ _SHINGLES = (
     "list_distinct(list_transform(range(1, greatest(len(tk)-2,1)+1),"
     " i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
 )
+
+# Tokenizer matching the engine's F.split(trim(lower(text)), '\\s+')
+# exactly: a regexp split on whitespace RUNS, not single spaces — text
+# with consecutive spaces/tabs/newlines tokenizes identically on both
+# sides (ADVICE r2).
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
 _MARKERS = {
     "de": ("der", "die", "und", "nicht", "ist"),
@@ -691,7 +800,7 @@ ORACLES: dict[str, str] = {
     "dedup_jaccard_pairs": f"""
         WITH sh AS (
             SELECT doc_id AS id, {_SHINGLES} AS shs
-            FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+            FROM (SELECT doc_id, {_TOKS} AS tk
                   FROM documents)
         ),
         ex AS (SELECT id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh)
@@ -707,7 +816,7 @@ ORACLES: dict[str, str] = {
     "minhash_signatures": f"""
         WITH sh AS (
             SELECT doc_id, unnest({_SHINGLES.replace('tk', 'tk')}) AS s
-            FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+            FROM (SELECT doc_id, {_TOKS} AS tk
                   FROM documents)
         )
         SELECT doc_id,
@@ -823,10 +932,11 @@ ORACLES: dict[str, str] = {
     # SimHash: token hash = md5[:16 hex] big-endian, kept as two 32-bit
     # halves so BIGINT never overflows; each bit votes ±1 per token
     # occurrence; fingerprint blocks (4×16 bit) pigeonhole the join.
-    "simhash_hamming_pairs": """
+    "simhash_hamming_pairs": f"""
         WITH toks AS (
-            SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
-            FROM documents),
+            SELECT doc_id, tok
+            FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+            WHERE tok <> ''),
         h AS (
             SELECT doc_id,
                    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hi,
@@ -906,6 +1016,69 @@ ORACLES: dict[str, str] = {
         FROM exact x LEFT JOIN approx a
           ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
         GROUP BY x.query_id ORDER BY x.query_id
+    """,
+    # Reconstructs the engine's md5-derived minhash signatures AND the
+    # banded bucket join in SQL: bands of 2 hashes, bucket = "h1,h2";
+    # est_jaccard = matching-signature fraction over all 4 hashes.
+    "minhash_lsh_band_pairs": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_SHINGLES}) AS s
+            FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+        ),
+        sig AS (
+            SELECT doc_id,
+                   min(CAST(('0x' || substr(md5('0:' || s), 1, 8)) AS BIGINT)) AS mh0,
+                   min(CAST(('0x' || substr(md5('1:' || s), 1, 8)) AS BIGINT)) AS mh1,
+                   min(CAST(('0x' || substr(md5('2:' || s), 1, 8)) AS BIGINT)) AS mh2,
+                   min(CAST(('0x' || substr(md5('3:' || s), 1, 8)) AS BIGINT)) AS mh3
+            FROM sh GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, 0 AS band,
+                   CAST(mh0 AS VARCHAR) || ',' || CAST(mh1 AS VARCHAR) AS bucket,
+                   mh0, mh1, mh2, mh3
+            FROM sig
+            UNION ALL
+            SELECT doc_id, 1,
+                   CAST(mh2 AS VARCHAR) || ',' || CAST(mh3 AS VARCHAR),
+                   mh0, mh1, mh2, mh3
+            FROM sig),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.mh0 AS a0, a.mh1 AS a1, a.mh2 AS a2, a.mh3 AS a3,
+                   b.mh0 AS b0, b.mh1 AS b1, b.mh2 AS b2, b.mh3 AS b3
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               round((CAST(a0 = b0 AS INT) + CAST(a1 = b1 AS INT)
+                      + CAST(a2 = b2 AS INT) + CAST(a3 = b3 AS INT)) / 4.0,
+                     6) AS est_jaccard
+        FROM cand ORDER BY id_a, id_b
+    """,
+    "seen_filter_new": """
+        SELECT DISTINCT user_id FROM events
+        WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events
+                              WHERE event_type = 'click' AND value > 150)
+        ORDER BY user_id
+    """,
+    # Arithmetic reconstruction of the decoded pixel/sample sums:
+    # BMP pixels are (doc_id + i) % 256 over i ∈ [0, 45), WAV samples
+    # (doc_id*7 + j*13) % 4001 - 2000 over j ∈ [0, 16).
+    "multimodal_decoded_stats": """
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(sum((doc_id + g.i) % 256) AS BIGINT) AS bmp_sum
+            FROM documents, generate_series(0, 44) g(i) GROUP BY doc_id),
+        w AS (
+            SELECT doc_id,
+                   CAST(sum(((doc_id * 7 + s.j * 13) % 4001) - 2000) AS BIGINT)
+                       AS wav_sum
+            FROM documents, generate_series(0, 15) s(j) GROUP BY doc_id)
+        SELECT b.doc_id, b.bmp_sum,
+               CAST(5 AS INT) AS bmp_w, CAST(3 AS INT) AS bmp_h,
+               w.wav_sum, CAST(16 AS INT) AS wav_frames
+        FROM b JOIN w ON b.doc_id = w.doc_id
+        ORDER BY b.doc_id
     """,
     "multimodal_binary_meta": """
         SELECT doc_id, octet_length(encode(text)) AS n_bytes,

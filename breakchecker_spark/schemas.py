@@ -38,11 +38,13 @@ FRONTIER = T.StructType(
 )
 
 # URL-seen state (reference: visited/_queued/_seen_keys sets,
-# break_checker.py:1222-1226). key_hash = xxhash64(struct_key_str).
+# break_checker.py:1222-1226). key_hash = xxhash64(struct_key_str) is
+# the membership key; the struct_key string itself is NOT persisted —
+# it is derivable from url and would dominate the staged bytes per
+# round (measured r2→r3: the biggest non-scaling phase locally).
 URL_SEEN = T.StructType(
     [
         T.StructField("key_hash", T.LongType(), False),
-        T.StructField("struct_key", T.StringType(), False),
         T.StructField("url", T.StringType(), False),
         T.StructField("depth", T.IntegerType(), False),
     ]

@@ -59,9 +59,59 @@ def test_extract_features_deterministic(spark, media):
     assert feats[1]["sha1"] != feats[2]["sha1"]
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_unknown_mime_is_stubbed():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_stub(b"xx", "image", real=True)
+        multimodal.decode_stub(b"xx", "image", real=True, mime="image/png")
+
+
+def test_bmp_roundtrip_and_padding():
+    import numpy as np
+
+    # 3×2 → row stride 9 → padded to 12: exercises the 4-byte padding
+    px = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3) * 7
+    blob = multimodal.encode_bmp(px)
+    out = multimodal.decode_bmp(blob)
+    assert out.shape == (2, 3, 3)
+    assert (out == px).all()
+    # header honesty: offset parsed, not assumed contiguous
+    assert blob[:2] == b"BM"
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"JUNK")
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    s = (np.arange(40, dtype=np.int64).reshape(20, 2) * 1201 - 12000).astype(
+        "int16"
+    )
+    blob = multimodal.encode_wav(s)
+    out = multimodal.decode_wav(blob)
+    assert out.shape == (20, 2)
+    assert (out == s).all()
+
+
+def test_extract_features_real_bmp_wav(spark):
+    import numpy as np
+
+    px = np.full((4, 4, 3), 100, dtype=np.uint8)
+    wav = multimodal.encode_wav(np.full((16, 1), 1000, dtype=np.int16))
+    rows = [
+        (1, "image", multimodal.encode_bmp(px), "image/bmp", {}),
+        (2, "audio", wav, "audio/wav", {}),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(media, real=True).collect()
+    }
+    # BMP: mean/std/min/max of constant 100 → 100/255, 0, ...
+    assert abs(feats[1][0] - 100 / 255) < 1e-6
+    assert feats[1][1] == 0.0
+    assert feats[1][4:] == [48.0, 4.0, 4.0, 3.0]
+    # WAV: constant 1000 int16 → mean 1000/32768
+    assert abs(feats[2][0] - 1000 / 32768) < 1e-6
+    assert feats[2][4:] == [16.0, 16.0, 1.0, 1.0]
 
 
 def test_frame_sample_plan(spark, media):

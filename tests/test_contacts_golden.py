@@ -175,7 +175,10 @@ def test_phone_golden(raw, region, expected):
 
 
 # ------------------------------------------------------ registered domain
-# (host, expected eTLD+1) — PSL-subset behavior incl. private suffixes
+# (host, expected eTLD+1). Expected values match tldextract 5.x with
+# DEFAULTS — include_psl_private_domains=False, exactly how the
+# reference constructs it (break_checker.py:1234-1237): private
+# registries (github.io-class) are ORDINARY domains, not suffixes.
 DOMAIN_VECTORS = [
     ("example.com", "example.com"),
     ("a.b.example.com", "example.com"),
@@ -188,17 +191,34 @@ DOMAIN_VECTORS = [
     ("example.gob.mx", "example.gob.mx"),
     ("example.com.tr", "example.com.tr"),
     ("example.ac.jp", "example.ac.jp"),
-    ("user.github.io", "user.github.io"),  # private-registry suffix
-    ("deep.user.github.io", "user.github.io"),
-    ("myapp.herokuapp.com", "myapp.herokuapp.com"),
-    ("blog.blogspot.com", "blog.blogspot.com"),
-    ("site.netlify.app", "site.netlify.app"),
-    # the bare suffix itself has no registrable domain (tldextract: "")
+    # private registries: NOT suffixes under tldextract defaults
+    ("user.github.io", "github.io"),
+    ("deep.user.github.io", "github.io"),
+    ("github.io", "github.io"),
+    ("myapp.herokuapp.com", "herokuapp.com"),
+    ("blog.blogspot.com", "blogspot.com"),
+    ("site.netlify.app", "netlify.app"),
+    # the bare ICANN suffix itself has no registrable domain
     ("co.uk", ""),
-    ("github.io", ""),
     ("localhost", ""),
     # unknown multi-label combos fall back to last two labels
     ("example.zz.xx", "zz.xx"),
+    # wildcard rules (*.ck, *.bd, *.kawasaki.jp ...): every child label
+    # of the parent is itself a suffix
+    ("foo.bar.ck", "foo.bar.ck"),
+    ("bar.ck", ""),
+    ("x.foo.bar.ck", "foo.bar.ck"),
+    ("something.bd", ""),
+    ("a.something.bd", "a.something.bd"),
+    ("foo.kawasaki.jp", ""),
+    ("x.foo.kawasaki.jp", "x.foo.kawasaki.jp"),
+    # kawasaki.jp itself is not a suffix (only *.kawasaki.jp is)
+    ("kawasaki.jp", "kawasaki.jp"),
+    # exception rules (!www.ck, !city.kawasaki.jp): carved back out
+    ("www.ck", "www.ck"),
+    ("sub.www.ck", "www.ck"),
+    ("city.kawasaki.jp", "city.kawasaki.jp"),
+    ("a.city.kawasaki.jp", "city.kawasaki.jp"),
 ]
 
 

@@ -192,7 +192,60 @@ def test_resume_bloom_on_over_bloomless_checkpoint(spark, pages_df, seeds_df, tm
     assert _engine_visited(resumed) == _engine_visited(full)
     # no duplicate url_seen rows (re-crawl symptom)
     n = resumed.url_seen.count()
-    assert n == resumed.url_seen.select("struct_key").distinct().count()
+    assert n == resumed.url_seen.select("key_hash").distinct().count()
+    assert _engine_contacts(resumed) == _engine_contacts(full)
+
+
+def test_resume_rebuckets_on_seen_buckets_change(
+    spark, pages_df, seeds_df, tmp_path
+):
+    """Resume under a different ``seen_buckets`` than the checkpoint
+    was written with: on-disk bucket values used the old modulus, so
+    the (bucket, key_hash) membership semi-join would silently miss
+    seen keys and re-crawl them (ADVICE r2). The manifest records the
+    modulus and resume re-derives the column."""
+    ckpt = str(tmp_path / "ckpt_rebucket")
+    base = dict(scope_host=fixture_web.SCOPE, max_depth=3, use_bloom=True,
+                bloom_parts=4, bloom_expected_per_part=1000)
+
+    full = run_crawl(spark, seeds_df, pages_df, CrawlConfig(**base, seen_buckets=4))
+
+    cfg_kill = CrawlConfig(**base, seen_buckets=4, checkpoint_dir=ckpt, max_rounds=2)
+    run_crawl(spark, seeds_df, pages_df, cfg_kill)
+    cfg_resume = CrawlConfig(**base, seen_buckets=16, checkpoint_dir=ckpt)
+    resumed = run_crawl(spark, seeds_df, pages_df, cfg_resume, resume=True)
+
+    assert _engine_visited(resumed) == _engine_visited(full)
+    n = resumed.url_seen.count()
+    assert n == resumed.url_seen.select("key_hash").distinct().count()
+    assert _engine_contacts(resumed) == _engine_contacts(full)
+    # every row's bucket matches the new modulus
+    from pyspark.sql import functions as F
+
+    bad = resumed.url_seen.filter(
+        F.col("bucket") != F.pmod(F.col("key_hash"), F.lit(16)).cast("int")
+    ).count()
+    assert bad == 0
+
+
+def test_resume_buckets_over_bucketless_checkpoint(
+    spark, pages_df, seeds_df, tmp_path
+):
+    """Legacy checkpoint written with seen_buckets=0 resumed under the
+    bucketed default: the missing ``bucket`` column must be derived,
+    not crash unionByName (ADVICE r2)."""
+    ckpt = str(tmp_path / "ckpt_bucketless")
+    base = dict(scope_host=fixture_web.SCOPE, max_depth=3, use_bloom=True,
+                bloom_parts=4, bloom_expected_per_part=1000)
+
+    full = run_crawl(spark, seeds_df, pages_df, CrawlConfig(**base, seen_buckets=8))
+
+    cfg_kill = CrawlConfig(**base, seen_buckets=0, checkpoint_dir=ckpt, max_rounds=2)
+    run_crawl(spark, seeds_df, pages_df, cfg_kill)
+    cfg_resume = CrawlConfig(**base, seen_buckets=8, checkpoint_dir=ckpt)
+    resumed = run_crawl(spark, seeds_df, pages_df, cfg_resume, resume=True)
+
+    assert _engine_visited(resumed) == _engine_visited(full)
     assert _engine_contacts(resumed) == _engine_contacts(full)
 
 
