@@ -100,6 +100,94 @@ def host_budget_split(
     return eligible, deferred
 
 
+def parse_robots_txt(robots_bodies: DataFrame) -> DataFrame:
+    """Raw robots.txt bodies → the rules table the robots gate eats.
+
+    Input: (host, body) — one fetched robots.txt per host. Output:
+    (host, disallow_prefix, crawl_delay), the schema
+    :func:`apply_robots` / :func:`crawl_delay_budgets` consume.
+
+    RFC 9309-lite, deterministic: ``#`` comments stripped; field names
+    case-insensitive; consecutive ``User-agent`` lines stack onto one
+    group; a ``User-agent`` line after rules starts a new group. Only
+    groups naming ``*`` apply (the replay crawler is a generic agent —
+    per-agent overrides are out of scope, documented). Empty
+    ``Disallow:`` means allow-all and emits nothing. A host whose
+    matching groups carry only a crawl-delay emits one row with a null
+    prefix (startswith(null) is null → never blocks).
+
+    Arrow-batched mapInPandas: parsing is per-row Python, but it runs
+    once per *host*, not per URL — at 10^10 URLs the robots table is
+    ~|hosts| rows, and this stage is a rounding error next to the
+    fetch join.
+    """
+    import pandas as pd
+
+    def _parse_one(host: str, body: str) -> list[tuple]:
+        groups: list[tuple[list[str], list[str], float | None]] = []
+        agents: list[str] = []
+        rules: list[str] = []
+        delay: float | None = None
+        in_rules = False
+
+        def _flush():
+            nonlocal agents, rules, delay, in_rules
+            if agents:
+                groups.append((agents, rules, delay))
+            agents, rules, delay, in_rules = [], [], None, False
+
+        for raw_line in (body or "").splitlines():
+            line = raw_line.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            field, _, value = line.partition(":")
+            field = field.strip().lower()
+            value = value.strip()
+            if field == "user-agent":
+                if in_rules:
+                    _flush()
+                agents.append(value.lower())
+            elif field == "disallow":
+                in_rules = True
+                if value:
+                    rules.append(value)
+            elif field == "crawl-delay":
+                in_rules = True
+                try:
+                    delay = float(value)
+                except ValueError:
+                    pass
+        _flush()
+
+        out: list[tuple] = []
+        host_delay: float | None = None
+        prefixes: list[str] = []
+        for agents_g, rules_g, delay_g in groups:
+            if "*" not in agents_g:
+                continue
+            prefixes.extend(rules_g)
+            if delay_g is not None and host_delay is None:
+                host_delay = delay_g
+        for p in prefixes:
+            out.append((host, p, host_delay))
+        if not prefixes and host_delay is not None:
+            out.append((host, None, host_delay))
+        return out
+
+    def _parse(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                rows.extend(_parse_one(host, body))
+            yield pd.DataFrame(
+                rows, columns=["host", "disallow_prefix", "crawl_delay"]
+            )
+
+    return robots_bodies.select("host", "body").mapInPandas(
+        _parse, schema="host string, disallow_prefix string, crawl_delay double"
+    )
+
+
 def crawl_delay_budgets(
     robots: DataFrame, round_seconds: float, max_budget: int = 10_000
 ) -> DataFrame:

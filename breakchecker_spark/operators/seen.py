@@ -128,6 +128,7 @@ def filter_new(
     strategy: str = "broadcast",
     prune_buckets: bool = False,
     max_broadcast_rows: int | None = 4_000_000,
+    candidate_bound: int | None = None,
 ) -> DataFrame:
     """Candidates whose struct key is not in the seen set.
 
@@ -168,6 +169,12 @@ def filter_new(
     are counted (one cheap job over the cache) and the plan falls back
     to the shuffling ``anti`` strategy above the threshold. None
     disables the guard.
+
+    ``candidate_bound``: driver-known upper bound on candidate rows
+    (e.g. the frontier row count from checkpoint footers). When it is
+    already ≤ the threshold the broadcast is safe by construction and
+    the count job is skipped — keeps the guard free on the common
+    small-round path.
     """
     if bloom_table is None:
         return candidates.join(seen.select("key_hash"), "key_hash", "left_anti")
@@ -205,6 +212,7 @@ def filter_new(
     if (
         strategy == "broadcast"
         and max_broadcast_rows is not None
+        and not (candidate_bound is not None and candidate_bound <= max_broadcast_rows)
         and cache_registry is not None
         and survivors.count() > max_broadcast_rows
     ):

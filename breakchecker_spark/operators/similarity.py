@@ -148,6 +148,99 @@ def lsh_topk(
     )
 
 
+def deterministic_centroids(dim: int, n_centroids: int, seed: int = 42) -> np.ndarray:
+    """md5-derived IVF coarse-quantizer centroids, uniform in [-1, 1).
+
+    ``w[c][d] = int(md5(f"ivf{seed}:{c}:{d}")[:8 hex], 16) / 2^31 - 1``
+    — the same SQL-reproducible construction as the LSH planes, so the
+    DuckDB oracle re-derives cell ASSIGNMENTS exactly. Production
+    swaps in trained k-means centroids; the partition-pruned search
+    shape (assign → probe nprobe cells → exact-score within) is
+    identical either way.
+    """
+    import hashlib
+
+    w = np.empty((n_centroids, dim), dtype=np.float64)
+    for c in range(n_centroids):
+        for d in range(dim):
+            h = int(hashlib.md5(f"ivf{seed}:{c}:{d}".encode()).hexdigest()[:8], 16)
+            w[c, d] = h / 2147483648.0 - 1.0
+    return w
+
+
+def make_ivf_assign_udf(
+    dim: int, n_centroids: int = 8, seed: int = 42, nprobe: int = 1
+):
+    """array<float> → the vector's ``nprobe`` nearest cells (array<int>).
+
+    Score = round(dot(v, c)/|c|, 6) — cosine up to the per-vector
+    constant |v|, which cannot change the ranking; rounding to 6
+    decimals BEFORE ranking pins cross-engine float ties (numpy dot vs
+    SQL sum ordering). Ties break on ascending centroid id.
+    """
+    cents = deterministic_centroids(dim, n_centroids, seed)
+    norms = np.linalg.norm(cents, axis=1)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        # dot first, divide after — the exact expression the SQL oracle
+        # rounds (dot(v,c)/|c|), keeping the 6-decimal pin aligned
+        sims = np.round((mat @ cents.T) / norms[None, :], 6)
+        # stable argsort of -sims keeps ascending centroid id on ties
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into cells, probe only
+    the query's ``nprobe`` nearest cells, exact-score within.
+
+    The 100 TB shape: the corpus is written partitioned by cell
+    (Iceberg partition transform on the assignment), a query touches
+    nprobe/n_centroids of the data, and the cross join becomes an
+    equi-join on cell — recall trades with nprobe instead of planes.
+    """
+    assign_q = make_ivf_assign_udf(dim, n_centroids, seed, nprobe)
+    assign_c = make_ivf_assign_udf(dim, n_centroids, seed, 1)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("cell", F.explode(assign_q(F.col("qv"))))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cell", assign_c(F.col("cv"))[0])
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def make_lsh_bands_udf(dim: int, n_planes: int = 4, n_bands: int = 8, seed: int = 42):
     """Banded hyperplane signatures: array<float> → array<int> (one
     bucket per band). A pair is a candidate if ANY band matches —

@@ -99,9 +99,15 @@ class CheckpointStore:
             writer = df.repartition(F.col(partition_by)).write.mode(
                 "overwrite"
             ).partitionBy(partition_by)
-        # zstd: ~2× smaller staged deltas than snappy at equal write
-        # cost — staging bytes are the measured non-scaling phase
-        writer.option("compression", "zstd").parquet(path)
+        # snappy, deliberately: an interleaved 100k-page A/B measured
+        # zstd at 128.6 s vs snappy at 45.0 s for the same crawl —
+        # zstd-jni pays a per-file setup cost that dominates when a
+        # round stages ~128 small delta files (32 buckets × 4 tables).
+        # At real cluster scale with large files zstd wins on bytes;
+        # flip via SPARK_GRAFT_CKPT_CODEC.
+        writer.option(
+            "compression", os.environ.get("SPARK_GRAFT_CKPT_CODEC", "snappy")
+        ).parquet(path)
 
     def stage_replace(self, table: str, df: DataFrame, round_no: int) -> int:
         """Write a full new version; commit makes it the only live one.

@@ -94,6 +94,9 @@ class CrawlConfig:
     # broadcast confirm (the 10^10-key path); "anti" = plain anti-join
     # (AQE broadcasts the seen side while it is small)
     seen_join: str = "broadcast"
+    # broadcast-safety guard: fall back to "anti" for a round whose
+    # bloom-surviving candidates exceed this (None disables)
+    seen_broadcast_max_rows: Optional[int] = 4_000_000
     # compact append tables (url_seen/contacts/metrics) every this many
     # rounds once they hold that many delta versions — the Iceberg
     # rewrite_data_files maintenance analogue. 0 disables.
@@ -283,6 +286,10 @@ def run_crawl(
             cache_registry=round_caches,
             strategy=config.seen_join,
             prune_buckets=config.prune_seen_buckets,
+            max_broadcast_rows=config.seen_broadcast_max_rows,
+            # frontier size is known exactly from the staged footers —
+            # below the broadcast threshold the guard costs nothing
+            candidate_bound=frontier_rows if frontier_rows >= 0 else None,
         )
         live = _dedup_frontier(live)
 
@@ -331,33 +338,46 @@ def run_crawl(
             bloom_next = (
                 delta if bloom_table is None else seen.merge_bloom(bloom_table, delta)
             )
+            # two consumers (bloom staging write + the enqueue-time
+            # probe cogroup): cache so the applyInPandas OR-merge runs
+            # once — it is a handful of bitset rows
+            bloom_next = bloom_next.cache()
+            round_caches.append(bloom_next)
 
         # 5. extract + expand
         link_cands, round_contacts, drops, caches = extract.process_pages(
             fetched, config.scope_host, config.default_region, config.org_domain
         )
-        candidates = link_cands.filter(F.col("depth") <= config.max_depth)
-        candidates = seen.with_struct_key(
-            candidates.withColumn("host", udfs.url_host(F.col("url")))
+        pre_candidates = seen.with_struct_key(
+            link_cands.filter(F.col("depth") <= config.max_depth).withColumn(
+                "host", udfs.url_host(F.col("url"))
+            )
         )
-        # enqueue-time checks: not seen, not already queued (deferred)
-        candidates = seen.filter_new(
-            candidates,
-            url_seen_next,
-            bloom_next,
-            config.bloom_parts,
-            seen_buckets=config.seen_buckets or None,
-            cache_registry=round_caches,
-            strategy=config.seen_join,
-            prune_buckets=config.prune_seen_buckets,
-        )
-        if config.host_budget is None and host_budgets is None:
-            # no deferrals possible — skip the anti-join and the union
-            frontier_next = _dedup_frontier(candidates.select(*deferred.columns))
-        else:
-            candidates = candidates.join(deferred.select("url"), "url", "left_anti")
-            frontier_next = _dedup_frontier(
-                deferred.unionByName(candidates.select(*deferred.columns))
+
+        def _build_frontier_next() -> DataFrame:
+            """Enqueue-time checks: not seen, not already queued.
+
+            Called from the staging thread pool so the broadcast-guard
+            count inside filter_new overlaps the url_seen/bloom staging
+            jobs instead of serializing into the driver plan phase.
+            """
+            candidates = seen.filter_new(
+                pre_candidates,
+                url_seen_next,
+                bloom_next,
+                config.bloom_parts,
+                seen_buckets=config.seen_buckets or None,
+                cache_registry=round_caches,
+                strategy=config.seen_join,
+                prune_buckets=config.prune_seen_buckets,
+                max_broadcast_rows=config.seen_broadcast_max_rows,
+            )
+            if config.host_budget is None and host_budgets is None:
+                # no deferrals possible — skip the anti-join and union
+                return _dedup_frontier(candidates.select(*deferred.columns))
+            anti = candidates.join(deferred.select("url"), "url", "left_anti")
+            return _dedup_frontier(
+                deferred.unionByName(anti.select(*deferred.columns))
             )
 
         # 6. stage + atomic commit (also truncates lineage via read-back).
@@ -406,6 +426,15 @@ def run_crawl(
             n_contacts = store.stage_append("contacts", round_contacts, round_no)
             tt = _tlog(f"r{round_no} stage contacts n={n_contacts}", tt)
 
+            # Build the next frontier in the MAIN thread, after contacts
+            # staging has materialized the page/extraction caches: the
+            # broadcast-guard count inside filter_new then reads warm
+            # caches. Running it concurrently with the other staging
+            # threads instead oversubscribes the pandas-UDF workers
+            # (measured: 46 s vs ~3 s for the same round).
+            frontier_df = _build_frontier_next()
+            tt = _tlog(f"r{round_no} frontier plan+guard", tt)
+
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=4) as pool:
@@ -417,7 +446,7 @@ def run_crawl(
                     "bucket" if config.seen_buckets else None,
                 )
                 f_frontier = pool.submit(
-                    store.stage_replace, "frontier", frontier_next, round_no
+                    store.stage_replace, "frontier", frontier_df, round_no
                 )
                 f_bloom = (
                     pool.submit(store.stage_replace, "bloom", bloom_next, round_no)
@@ -463,7 +492,7 @@ def run_crawl(
             # keep lineage bounded without a store
             n_eligible = eligible.count()
             n_contacts = round_contacts.count()
-            frontier = frontier_next.localCheckpoint(eager=True)
+            frontier = _build_frontier_next().localCheckpoint(eager=True)
             frontier_rows = -1
             url_seen = url_seen_next.localCheckpoint(eager=True)
             all_contacts = all_contacts.unionByName(round_contacts).localCheckpoint(

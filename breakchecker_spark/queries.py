@@ -438,6 +438,34 @@ def lsh_topk_recall(spark, sf_dir):
     )
 
 
+def ivf_topk_recall(spark, sf_dir):
+    """IVF-flat ANN quality: per-query overlap of IVF top-k (8 md5-
+    derived cells, nprobe=2) vs exact top-k. The oracle re-derives the
+    centroids AND cell assignments in SQL, so the partition-pruned
+    search path (assign → probe → exact-score) is value-checked end to
+    end, not just its recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    emb = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    approx = similarity.ivf_topk(
+        emb, q, dim=64, k=3, n_centroids=8, nprobe=2, seed=42
+    ).select("query_id", "neighbor_id")
+    return (
+        exact.join(approx.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(3), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def minhash_lsh_band_pairs(spark, sf_dir):
     """Banded-minhash candidate pairs — the canonical 100 TB dedup
     path. 4 hashes × 2 bands; the DuckDB oracle re-derives the exact
@@ -619,6 +647,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "simhash_hamming_pairs": simhash_hamming_pairs,
     "lsh_topk_recall": lsh_topk_recall,
+    "ivf_topk_recall": ivf_topk_recall,
     "minhash_lsh_band_pairs": minhash_lsh_band_pairs,
     "seen_filter_new": seen_filter_new,
     "multimodal_decoded_stats": multimodal_decoded_stats,
@@ -1009,6 +1038,60 @@ ORACLES: dict[str, str] = {
                 JOIN q ON e.vec_id <> q.query_id
                 JOIN sigs sq ON sq.vec_id = q.query_id
                 JOIN sigs se ON se.vec_id = e.vec_id AND se.bucket = sq.bucket)
+            WHERE rank <= 3)
+        SELECT x.query_id,
+               CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 3.0, 4) AS recall
+        FROM exact x LEFT JOIN approx a
+          ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        GROUP BY x.query_id ORDER BY x.query_id
+    """,
+    # IVF cells re-derived exactly: centroid w[c][d] from md5('ivf42:
+    # c:d'); assignment score = round(dot(v,c)/|c|, 6), rank by (score
+    # desc, c asc); corpus takes rank 1, queries probe ranks ≤ 2.
+    "ivf_topk_recall": """
+        WITH cents AS (
+            SELECT c.c, d.d,
+                   CAST('0x' || substr(md5('ivf42:' || c.c || ':' || d.d), 1, 8) AS BIGINT)
+                       / 2147483648.0 - 1.0 AS w
+            FROM generate_series(0, 7) c(c), generate_series(0, 63) d(d)),
+        cnorm AS (SELECT c, sqrt(sum(w * w)) AS nc FROM cents GROUP BY c),
+        scores AS (
+            SELECT e.vec_id, ct.c,
+                   round(sum(e.embedding[ct.d + 1] * ct.w) / any_value(cn.nc), 6) AS s
+            FROM embeddings e, cents ct JOIN cnorm cn ON ct.c = cn.c
+            GROUP BY e.vec_id, ct.c),
+        ranked_cells AS (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rc
+            FROM scores),
+        corpus_cell AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE rc = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        q_cells AS (
+            SELECT r.vec_id AS query_id, r.c AS cell
+            FROM ranked_cells r WHERE r.vec_id < 5 AND r.rc <= 2),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           round(list_dot_product(q.qv, e.embedding) /
+                                 (sqrt(list_dot_product(q.qv, q.qv)) *
+                                  sqrt(list_dot_product(e.embedding, e.embedding))), 6) DESC,
+                           e.vec_id ASC) AS rank
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+            WHERE rank <= 3),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           round(list_dot_product(q.qv, e.embedding) /
+                                 (sqrt(list_dot_product(q.qv, q.qv)) *
+                                  sqrt(list_dot_product(e.embedding, e.embedding))), 6) DESC,
+                           e.vec_id ASC) AS rank
+                FROM embeddings e
+                JOIN corpus_cell cc ON cc.vec_id = e.vec_id
+                JOIN q_cells qc ON qc.cell = cc.cell
+                JOIN q ON q.query_id = qc.query_id AND e.vec_id <> q.query_id)
             WHERE rank <= 3)
         SELECT x.query_id,
                CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,

@@ -194,3 +194,34 @@ def test_fingerprint_rolling_shift_resistant(spark):
     }
     assert fp[1] == fp[2]
     assert fp[1] != fp[3]
+
+
+def test_ivf_topk_exact_scores_and_pruning(spark, vectors):
+    """IVF candidates carry exactly-scored cosines, and the search only
+    touches the probed cells (a neighbor outside them never appears)."""
+    q = vectors.filter(F.col("vec_id") == 1)
+    approx = similarity.ivf_topk(
+        vectors, q, dim=4, k=3, n_centroids=4, nprobe=2
+    ).collect()
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.brute_force_topk(vectors, q, k=10).collect()
+    }
+    assert approx  # probing 2 of 4 cells must yield candidates here
+    for r in approx:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cos"]
+    # determinism: same call → same rows
+    again = similarity.ivf_topk(
+        vectors, q, dim=4, k=3, n_centroids=4, nprobe=2
+    ).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_ivf_assignment_partitions_corpus(spark, vectors):
+    """Every vector lands in exactly one cell; nprobe widens coverage."""
+    assign1 = similarity.make_ivf_assign_udf(4, n_centroids=4, nprobe=1)
+    assign4 = similarity.make_ivf_assign_udf(4, n_centroids=4, nprobe=4)
+    one = vectors.select(assign1("embedding").alias("c")).collect()
+    assert all(len(r["c"]) == 1 and 0 <= r["c"][0] < 4 for r in one)
+    allc = vectors.select(assign4("embedding").alias("c")).collect()
+    assert all(sorted(r["c"]) == [0, 1, 2, 3] for r in allc)

@@ -135,3 +135,73 @@ def test_crawl_with_round_seconds(spark):
     want = {(r["url"], r["depth"]) for r in full.url_seen.collect()}
     assert got == want
     assert res.rounds > full.rounds
+
+
+ROBOTS_FIXTURE = """
+# global rules
+User-agent: *
+Disallow: /private
+Disallow: /tmp/   # trailing comment
+Crawl-delay: 2.5
+Disallow:
+
+User-agent: Googlebot
+Disallow: /only-google
+
+User-agent: BadBot
+User-agent: *
+Disallow: /also-global
+"""
+
+
+def test_parse_robots_txt_rules(spark):
+    bodies = spark.createDataFrame(
+        [
+            ("a.x", ROBOTS_FIXTURE),
+            ("b.x", "User-agent: *\nCrawl-delay: 10\n"),
+            ("c.x", "User-agent: Googlebot\nDisallow: /x\n"),
+            ("d.x", ""),
+        ],
+        "host string, body string",
+    )
+    rows = politeness.parse_robots_txt(bodies).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(
+            (r["disallow_prefix"], r["crawl_delay"])
+        )
+    # a.x: both *-groups apply (stacked agents incl. BadBot+*); the
+    # Googlebot-only group does not; empty Disallow emits nothing
+    assert sorted(by_host["a.x"]) == [
+        ("/also-global", 2.5),
+        ("/private", 2.5),
+        ("/tmp/", 2.5),
+    ]
+    # b.x: delay-only group → one null-prefix row carrying the delay
+    assert by_host["b.x"] == [(None, 10.0)]
+    # c.x (agent-specific only) and d.x (empty) emit nothing
+    assert "c.x" not in by_host and "d.x" not in by_host
+
+
+def test_parsed_robots_feed_the_gate(spark):
+    """parse_robots_txt output plugs straight into apply_robots and
+    crawl_delay_budgets."""
+    bodies = spark.createDataFrame(
+        [("h.x", "User-agent: *\nDisallow: /no\nCrawl-delay: 5\n")],
+        "host string, body string",
+    )
+    rules = politeness.parse_robots_txt(bodies)
+    cands = spark.createDataFrame(
+        [
+            ("https://h.x/no/page", 0, "h.x"),
+            ("https://h.x/yes", 0, "h.x"),
+        ],
+        "url string, depth int, host string",
+    )
+    kept = {r["url"] for r in politeness.apply_robots(cands, rules).collect()}
+    assert kept == {"https://h.x/yes"}
+    budgets = {
+        r["host"]: r["budget"]
+        for r in politeness.crawl_delay_budgets(rules, round_seconds=20).collect()
+    }
+    assert budgets == {"h.x": 4}
