@@ -124,13 +124,24 @@ def main() -> None:
     crawl = run_crawl_bench(spark, n_pages, tmp_root)
     spark.catalog.clearCache()
 
+    # Per-query time = min of 2 executions. This shared-host VM has
+    # minute-scale noise windows that inflate identical plans 3-8×
+    # (e.g. the same warm jaccard plan: 5-7 s in a calm window, 58 s
+    # in a stormy one); the minimum is the stable estimator of the
+    # engine's cost — the same rationale scaling_run.py documents for
+    # best-of-2. The crawl is measured once (it is 4 rounds of
+    # internally-averaged work and too long to repeat).
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
-        df = fn(spark, sf_dir)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            df = fn(spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
     times["crawl_replay"] = crawl["crawl_seconds"]
 
     total = round(sum(times.values()), 2)
