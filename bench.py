@@ -50,6 +50,7 @@ HEADLINE = [
     "ivf_topk_recall",
     "minhash_lsh_band_pairs",
     "seen_filter_new",
+    "seen_filter_new_cuckoo",
     "multimodal_decoded_stats",
 ]
 

@@ -514,6 +514,30 @@ def seen_filter_new(spark, sf_dir):
     return out.select("user_id").orderBy("user_id")
 
 
+def seen_filter_new_cuckoo(spark, sf_dir):
+    """The cuckoo-prefiltered membership plan (the north rule's other
+    filter family — supports deletion) vs the same NOT IN oracle;
+    exact equality because the prefilter has no false negatives and
+    hits confirm against the exact table."""
+    from .operators import cuckoo
+
+    ev = _t(spark, sf_dir, "events")
+    cands = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("key_hash", F.xxhash64("user_id"))
+    )
+    seen_df = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 120))
+        .select("user_id")
+        .distinct()
+        .select(F.xxhash64("user_id").alias("key_hash"))
+    )
+    parts = cuckoo.build_parts(seen_df, n_parts=8, expected_per_part=50_000)
+    out = cuckoo.filter_new(cands, seen_df, parts, n_parts=8)
+    return out.select("user_id").orderBy("user_id")
+
+
 def multimodal_decoded_stats(spark, sf_dir):
     """REAL multimodal decode under the oracle gate: a 5×3 24-bit BMP
     (row stride 15 → 4-byte padding exercised) and a 16-frame mono
@@ -650,6 +674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_recall": ivf_topk_recall,
     "minhash_lsh_band_pairs": minhash_lsh_band_pairs,
     "seen_filter_new": seen_filter_new,
+    "seen_filter_new_cuckoo": seen_filter_new_cuckoo,
     "multimodal_decoded_stats": multimodal_decoded_stats,
     "multimodal_binary_meta": multimodal_binary_meta,
     "crawl_frontier_bfs": crawl_frontier_bfs,
@@ -1142,6 +1167,12 @@ ORACLES: dict[str, str] = {
         SELECT DISTINCT user_id FROM events
         WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events
                               WHERE event_type = 'click' AND value > 150)
+        ORDER BY user_id
+    """,
+    "seen_filter_new_cuckoo": """
+        SELECT DISTINCT user_id FROM events
+        WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events
+                              WHERE event_type = 'purchase' AND value > 120)
         ORDER BY user_id
     """,
     # Arithmetic reconstruction of the decoded pixel/sample sums:
