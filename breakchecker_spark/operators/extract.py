@@ -200,6 +200,58 @@ def process_pages(
     return link_candidates, contacts, DropCounters(email_obs, phone_obs), caches
 
 
+def snippet_windows(
+    df: DataFrame,
+    text_col: str,
+    pattern: str,
+    width: int = 20,
+    out_col: str = "snippets",
+) -> DataFrame:
+    """X14: per-match ±``width``-char debug context windows.
+
+    Reproduces the reference's snippet construction exactly
+    (break_checker.py:1438-1444): ``text[max(start-20,0):end+20]``
+    with newlines replaced by spaces, then the log-time whitespace
+    collapse ``" ".join(s.strip().split())`` (bc:1287-1289). Emitted
+    as an ``array<struct<match,snippet>>`` column so callers explode
+    only when debugging — the column is never computed on the
+    non-debug path (lazy projection).
+    """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rx = _re.compile(pattern)
+
+    @F.pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("match", T.StringType()),
+                    T.StructField("snippet", T.StringType()),
+                ]
+            )
+        )
+    )
+    def _snips(texts):
+        out = []
+        for t in texts:
+            if not t:
+                out.append([])
+                continue
+            rows = []
+            for m in rx.finditer(t):
+                snip = t[max(m.start() - width, 0): m.end() + width].replace(
+                    "\n", " "
+                )
+                rows.append((m.group(), " ".join(snip.strip().split())))
+            out.append(rows)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _snips(F.col(text_col)))
+
+
 def dedup_contacts(contacts: DataFrame) -> DataFrame:
     """First-discovery-wins dedup, pinned deterministically.
 

@@ -73,3 +73,34 @@ def test_fresh_run_on_dirty_checkpoint_resets(spark, tmp_path):
     again = run_crawl(spark, seeds, pages, CrawlConfig(**base))  # fresh, same dir
     assert again.summary["num_endpoints"] == first_endpoints
     assert again.contacts.count() == first_contacts
+
+
+def test_snippet_windows_reference_semantics(spark):
+    """X14: snippet = text[max(start-20,0):end+20], newlines→spaces,
+    log-time whitespace collapse (break_checker.py:1438-1444,
+    1287-1289) — checked against the reference expression directly."""
+    from breakchecker_spark.functions.contacts import EMAIL_RE
+    from breakchecker_spark.operators import extract
+
+    texts = [
+        "contact a@x.com now",                        # window clipped at both ends
+        ("x" * 30) + " mid b@y.org tail " + ("y" * 30),  # full ±20 window
+        "line1\nwrap c@z.net\nline3  with   runs",    # newline + collapse
+        "",                                            # empty
+        "no matches here",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    got = {
+        r["i"]: [(s["match"], s["snippet"]) for s in r["snippets"]]
+        for r in extract.snippet_windows(df, "text", EMAIL_RE.pattern).collect()
+    }
+
+    import re
+    rx = re.compile(EMAIL_RE.pattern)
+    for i, t in enumerate(texts):
+        want = []
+        for m in rx.finditer(t):
+            snip = t[max(m.start() - 20, 0): m.end() + 20].replace("\n", " ")
+            want.append((m.group(), " ".join(snip.strip().split())))
+        assert got[i] == want, (i, got[i], want)
+    assert got[4] == [] and got[3] == []
