@@ -24,11 +24,18 @@ to bloom for that reason; the cuckoo operator is the drop-in for
 pipelines that need deletion.
 
 Semantics contract (same as bloom): ``might_contain`` has no false
-negatives for inserted-and-not-deleted keys, so probe-miss candidates
-are definitely new and skip the exact check; probe hits are confirmed
-against the exact table. Deleting a key never removes another
-(delete-one-copy), provided only inserted keys are deleted — the
-standard cuckoo-filter caveat.
+negatives for any key whose inserts outnumber its deletes, so
+probe-miss candidates are definitely new and skip the exact check;
+probe hits are confirmed against the exact table. Deletion follows the
+standard cuckoo-filter rules (Fan et al. §3.3): every insert stores a
+copy — even when an identical fingerprint is already resident, because
+that resident may be a *different* key's indistinguishable twin, and
+deduping against it would let a later delete of the twin silently
+remove this key too (a false negative). ``delete`` removes one stored
+copy; delete only keys that were actually inserted, at most as many
+times as they were inserted. Consequence: inserting the same key more
+than 2×4 slots' worth of times overflows its two buckets — callers
+insert each key once (filter_new output is already deduplicated).
 """
 
 from __future__ import annotations
@@ -113,8 +120,10 @@ class CuckooPart:
         i2s = _index2(i1s, fps, self.nbuckets)
         rng_state = np.uint64(0x853C49E6748FEA9B)
         for fp, i1, i2 in zip(fps, i1s, i2s):
-            if fp in self.table[i1] or fp in self.table[i2]:
-                continue  # already present (or an indistinguishable twin)
+            # NB: no presence check — a resident identical fingerprint
+            # may belong to a different key (twin); always store a copy
+            # so delete-one-copy can never false-negative another key
+            # (module docstring, Fan et al. §3.3).
             placed = False
             for idx in (i1, i2):
                 empty = np.flatnonzero(self.table[idx] == 0)
@@ -262,6 +271,8 @@ def filter_new(
     cuckoo_table: DataFrame,
     n_parts: int = 32,
     cache_registry: list | None = None,
+    max_broadcast_rows: int | None = 4_000_000,
+    candidate_bound: int | None = None,
 ) -> DataFrame:
     """Candidates whose key is not in the seen set — cuckoo-prefiltered.
 
@@ -269,7 +280,15 @@ def filter_new(
     are definitely new (no false negatives) and bypass the exact
     check; probe hits confirm with a broadcast semi/anti pair, so the
     seen table is scanned, never shuffled. Results are exactly equal
-    to a plain anti-join (tests/test_cuckoo.py)."""
+    to a plain anti-join (tests/test_cuckoo.py).
+
+    ``max_broadcast_rows`` / ``candidate_bound``: the same driver-OOM
+    guard as the bloom path (seen.py). Survivors scale with the
+    round's duplicate links, not with the filter's fp rate, so they
+    are not inherently bounded; above the threshold the plan falls
+    back to a shuffling anti-join. ``candidate_bound`` (a driver-known
+    candidate-count upper bound) proves safety without the count job;
+    ``None`` for ``max_broadcast_rows`` disables the guard."""
     cand_cols = candidates.columns
     cand = candidates.withColumn(
         "part_id", F.pmod(F.col("key_hash"), F.lit(n_parts)).cast("int")
@@ -295,11 +314,23 @@ def filter_new(
         .cogroup(cuckoo_table.groupBy("part_id"))
         .applyInPandas(_probe, schema=out_schema)
     )
+    need_guard = max_broadcast_rows is not None and not (
+        candidate_bound is not None and candidate_bound <= max_broadcast_rows
+    )
     if cache_registry is not None:
         probed = probed.cache()
         cache_registry.append(probed)
+    elif need_guard:
+        # guard stays active without a caller registry: cache so the
+        # count job doesn't recompute the probe (session-evicted)
+        probed = probed.cache()
     definitely_new = probed.filter(~F.col("maybe_seen")).select(*cand_cols)
     survivors = probed.filter(F.col("maybe_seen")).select(*cand_cols)
+    if need_guard and survivors.count() > max_broadcast_rows:
+        new_survivors = survivors.join(
+            seen.select("key_hash"), "key_hash", "left_anti"
+        )
+        return definitely_new.unionByName(new_survivors)
     confirmed = seen.select("key_hash").join(
         F.broadcast(survivors.select("key_hash")), "key_hash", "left_semi"
     )

@@ -181,7 +181,14 @@ def extract_features(
         if not real:
             return arr.tolist()
         a = arr.astype(np.float64)
-        scale = 255.0 if arr.dtype == np.uint8 else 32768.0
+        # scale by the dtype's full range, not a fixed 16-bit divisor:
+        # decode_wav returns int32 for 4-byte PCM, which a 2**15 scale
+        # would leave ~65536× outside the documented [-1, 1] band
+        scale = {
+            np.dtype(np.uint8): 255.0,
+            np.dtype(np.int16): 32768.0,
+            np.dtype(np.int32): 2147483648.0,
+        }.get(arr.dtype, 32768.0)
         return [
             float(a.mean() / scale),
             float(a.std() / scale),

@@ -203,19 +203,26 @@ def filter_new(
         .cogroup(bloom_table.groupBy("part_id"))
         .applyInPandas(_probe, schema=out_schema)
     )
-    if cache_registry is not None:
-        probed = probed.cache()
-        cache_registry.append(probed)
-    definitely_new = probed.filter(~F.col("maybe_seen")).select(*cand_cols)
-    survivors = probed.filter(F.col("maybe_seen")).select(*cand_cols)
-
-    if (
+    # The guard must run whenever max_broadcast_rows is set and the
+    # caller can't bound the candidates — an unguarded broadcast of
+    # survivors risks driver OOM at 10^10-key scale. Without a caller
+    # cache registry the probe is cached internally so the count job
+    # doesn't recompute it (evicted by the session, never unpersisted
+    # by us — the crawl loop always passes a registry).
+    need_guard = (
         strategy == "broadcast"
         and max_broadcast_rows is not None
         and not (candidate_bound is not None and candidate_bound <= max_broadcast_rows)
-        and cache_registry is not None
-        and survivors.count() > max_broadcast_rows
-    ):
+    )
+    if cache_registry is not None:
+        probed = probed.cache()
+        cache_registry.append(probed)
+    elif need_guard:
+        probed = probed.cache()
+    definitely_new = probed.filter(~F.col("maybe_seen")).select(*cand_cols)
+    survivors = probed.filter(F.col("maybe_seen")).select(*cand_cols)
+
+    if need_guard and survivors.count() > max_broadcast_rows:
         strategy = "anti"
 
     if strategy == "anti":

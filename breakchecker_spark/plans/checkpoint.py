@@ -216,7 +216,16 @@ class CheckpointStore:
 
         No-op (returns False) unless the table has ≥ ``min_versions``
         committed versions. Call before stage_append for the round.
+
+        Skipped when a rewrite is already pending for the table (e.g.
+        the resume-time rebucket in plans/crawl.py): that rewrite is
+        itself a single consolidated version, and reading committed
+        (pre-rewrite) versions here would both clobber the pending
+        rewrite and — when the old layout lacked the partition column —
+        crash on repartition. The rewrite subsumes the compaction.
         """
+        if table in self._pending:
+            return False
         versions = self._committed_versions(table)
         if len(versions) < min_versions:
             return False

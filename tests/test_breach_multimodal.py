@@ -114,6 +114,35 @@ def test_extract_features_real_bmp_wav(spark):
     assert feats[2][4:] == [16.0, 16.0, 1.0, 1.0]
 
 
+def test_extract_features_32bit_wav_in_range(spark):
+    """4-byte PCM decodes to int32; features must scale by 2**31, not
+    the 16-bit divisor (ADVICE r3 — values came out ~65536× outside
+    the documented [-1, 1] band)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    val = 1_000_000_000  # ~0.4656 of full-scale int32
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)
+        w.setframerate(8000)
+        w.writeframes(np.full(16, val, dtype="<i4").tobytes())
+    media = spark.createDataFrame(
+        [(3, "audio", buf.getvalue(), "audio/wav", {})],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(media, real=True).collect()
+    }
+    assert abs(feats[3][0] - val / 2**31) < 1e-9
+    assert all(-1.0 <= v <= 1.0 for v in feats[3][:4])
+    assert feats[3][4:] == [16.0, 16.0, 1.0, 1.0]
+
+
 def test_frame_sample_plan(spark, media):
     frames = multimodal.frame_sample_plan(media, every_n=10).collect()
     idx = sorted(r["frame_idx"] for r in frames)

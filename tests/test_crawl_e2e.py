@@ -228,6 +228,47 @@ def test_resume_rebuckets_on_seen_buckets_change(
     assert bad == 0
 
 
+def test_resume_rebucket_landing_on_compaction_round(
+    spark, pages_df, seeds_df, tmp_path
+):
+    """Resume with a changed seen_buckets where the FIRST resumed round
+    is also a compaction round: compaction must defer to the staged
+    rebucket instead of clobbering it with old-modulus data (ADVICE
+    r3, crawl.py/checkpoint.py). host_budget=1 stretches the crawl so
+    round 5 exists; (5+1) % compact_every==0 with 5 ≥ min_versions
+    fires the url_seen compact exactly when the rebucket is pending."""
+    ckpt = str(tmp_path / "ckpt_rb_compact")
+    base = dict(scope_host=fixture_web.SCOPE, max_depth=3, host_budget=1,
+                use_bloom=True, bloom_parts=4, bloom_expected_per_part=1000)
+
+    full = run_crawl(
+        spark, seeds_df, pages_df,
+        CrawlConfig(**base, seen_buckets=4, compact_every=3),
+    )
+    assert full.rounds > 5
+
+    cfg_kill = CrawlConfig(
+        **base, seen_buckets=4, compact_every=3, checkpoint_dir=ckpt,
+        max_rounds=5,
+    )
+    run_crawl(spark, seeds_df, pages_df, cfg_kill)
+    cfg_resume = CrawlConfig(
+        **base, seen_buckets=16, compact_every=3, checkpoint_dir=ckpt
+    )
+    resumed = run_crawl(spark, seeds_df, pages_df, cfg_resume, resume=True)
+
+    assert _engine_visited(resumed) == _engine_visited(full)
+    n = resumed.url_seen.count()
+    assert n == resumed.url_seen.select("key_hash").distinct().count()
+    assert _engine_contacts(resumed) == _engine_contacts(full)
+    from pyspark.sql import functions as F
+
+    bad = resumed.url_seen.filter(
+        F.col("bucket") != F.pmod(F.col("key_hash"), F.lit(16)).cast("int")
+    ).count()
+    assert bad == 0
+
+
 def test_resume_buckets_over_bucketless_checkpoint(
     spark, pages_df, seeds_df, tmp_path
 ):

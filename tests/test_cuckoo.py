@@ -32,6 +32,26 @@ def test_part_delete_removes_membership():
     assert part.might_contain(keys[100:]).all()
 
 
+def test_twin_delete_keeps_other_key():
+    """Two distinct keys with identical fingerprint AND bucket pair
+    (indistinguishable twins): deleting one must not make the other a
+    false negative. Requires copy-per-insert semantics (ADVICE r3 —
+    the old presence-check dedupe violated this)."""
+    part = cuckoo.CuckooPart(nbuckets=64)
+    # brute-force a twin pair under this part's hash geometry
+    keys = np.arange(0, 200_000, dtype=np.int64)
+    fps = cuckoo._fingerprints(keys.view(np.uint64).copy())
+    i1s = cuckoo._index1(keys.view(np.uint64).copy(), part.nbuckets)
+    combo = fps.astype(np.int64) * part.nbuckets + i1s
+    _, first_idx, counts = np.unique(combo, return_index=True, return_counts=True)
+    dup_combo = combo[first_idx[counts > 1][0]]
+    pair = keys[combo == dup_combo][:2]
+    assert len(pair) == 2 and pair[0] != pair[1]
+    part.add(pair)
+    part.delete(pair[:1])
+    assert part.might_contain(pair[1:]).all()
+
+
 def test_incremental_update_equals_rebuild(spark):
     a = spark.range(0, 3000).select(F.xxhash64("id").alias("key_hash"))
     b = spark.range(3000, 5000).select(F.xxhash64("id").alias("key_hash"))
@@ -74,6 +94,39 @@ def test_filter_new_equals_exact_anti_join(spark):
         for r in cands.join(seen, "key_hash", "left_anti").collect()
     }
     assert got == want == set(range(4000, 7000))
+
+
+def test_filter_new_broadcast_guard_falls_back(spark):
+    """Survivors above max_broadcast_rows → the plan must drop the
+    broadcast hint (anti-join fallback, ADVICE r3 — this path was
+    unguarded) and still return exactly the anti-join result, with no
+    caller cache_registry needed for the guard to be active."""
+    seen = spark.range(0, 4000).select(F.xxhash64("id").alias("key_hash"))
+    cands = spark.range(0, 5000).select(
+        F.xxhash64("id").alias("key_hash"), F.col("id").alias("orig")
+    )
+    parts = cuckoo.build_parts(seen, n_parts=4, expected_per_part=2000)
+    want = set(range(4000, 5000))
+
+    guarded = cuckoo.filter_new(
+        cands, seen, parts, n_parts=4, max_broadcast_rows=100
+    )
+    assert "ResolvedHint" not in guarded._jdf.queryExecution().analyzed().toString()
+    assert {r["orig"] for r in guarded.collect()} == want
+
+    unguarded = cuckoo.filter_new(
+        cands, seen, parts, n_parts=4, max_broadcast_rows=None
+    )
+    assert "ResolvedHint" in unguarded._jdf.queryExecution().analyzed().toString()
+    assert {r["orig"] for r in unguarded.collect()} == want
+
+    # candidate_bound below the threshold proves safety → broadcast kept
+    bounded = cuckoo.filter_new(
+        cands, seen, parts, n_parts=4, max_broadcast_rows=100_000,
+        candidate_bound=5000,
+    )
+    assert "ResolvedHint" in bounded._jdf.queryExecution().analyzed().toString()
+    assert {r["orig"] for r in bounded.collect()} == want
 
 
 def test_delete_reopens_urls_for_recrawl(spark):

@@ -95,3 +95,27 @@ def test_merge_bloom_dataframe(spark, seen_and_candidates):
         row = merged[pid]
         part = bloom.BloomPart.from_bytes(int(row["nbits"]), int(row["k"]), row["bits"])
         assert part.might_contain(np.array([key], dtype=np.int64))[0]
+
+
+def test_filter_new_guard_active_without_registry(spark, seen_and_candidates):
+    """The max_broadcast_rows driver-OOM guard must fire even when no
+    cache_registry is passed (ADVICE r3 — it was silently inactive):
+    survivors above the threshold drop the broadcast hint; results are
+    identical either way."""
+    seen_df, cand = seen_and_candidates
+    bloom_table = seen.build_bloom(seen_df, n_parts=8, expected_per_part=1000)
+    want = {
+        r["url"] for r in seen.filter_new(cand, seen_df).select("url").collect()
+    }
+
+    guarded = seen.filter_new(
+        cand, seen_df, bloom_table, 8, max_broadcast_rows=100
+    )
+    assert "ResolvedHint" not in guarded._jdf.queryExecution().analyzed().toString()
+    assert {r["url"] for r in guarded.select("url").collect()} == want
+
+    unguarded = seen.filter_new(
+        cand, seen_df, bloom_table, 8, max_broadcast_rows=None
+    )
+    assert "ResolvedHint" in unguarded._jdf.queryExecution().analyzed().toString()
+    assert {r["url"] for r in unguarded.select("url").collect()} == want
