@@ -23,9 +23,11 @@ from breakchecker_spark import queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the crawl engine end-to-end — BFS frontier over an
-    embedded pages table, vectorized extraction, first-source dedup —
-    then sanity-scoped to sf0.001 relational data via q1."""
+    """Flagship: the crawl engine end-to-end — the iterative BFS
+    frontier loop (bloom-prefiltered seen membership, struct-key
+    dedup, depth gate) over a link graph derived from the sf0.001
+    documents table; hash-gated against a DuckDB WITH RECURSIVE
+    oracle in the correctness run."""
     sf_dir = "/root/testdata/sf0.001"
     return _q.crawl_frontier_bfs(spark, sf_dir)
 
