@@ -20,12 +20,16 @@ Documented deviations (this sandbox ships neither ``email_validator``,
   the regions the reference's TLD map covers, instead of libphonenumber.
   Output format matches the reference contract: digits-only NATIONAL
   representation, minimum 7 digits.
-* **Registered domain** uses an embedded subset of the Public Suffix
-  List covering common multi-label suffixes, instead of tldextract.
+* **Registered domain** resolves against a full ICANN-section snapshot
+  of the Public Suffix List shipped as package data (same list
+  tldextract bundles; private registries excluded per its defaults),
+  with an embedded common-suffix subset as fallback if the data file
+  is absent.
 """
 
 from __future__ import annotations
 
+import os
 import re
 from typing import List, Optional
 from urllib.parse import parse_qs, unquote
@@ -143,24 +147,78 @@ _WILDCARD_EXCEPTIONS = frozenset(
 )
 
 
+# Full ICANN PSL snapshot (breakchecker_spark/data/
+# public_suffix_list_icann.dat — the ===ICANN DOMAINS=== section of
+# the Mozilla Public Suffix List, MPL 2.0, as shipped by the Debian
+# `publicsuffix` package; publicsuffix.org/list). ICANN-only matches
+# the reference's tldextract defaults
+# (include_psl_private_domains=False, break_checker.py:1234-1237).
+# Loaded once per process at import; the embedded subsets above remain
+# the documented fallback if the data file is missing.
+_PSL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list_icann.dat",
+)
+
+
+def _load_psl(path: str):
+    """→ (exact_rules, wildcard_parents, exception_rules) as frozensets
+    of dot-joined label strings, or None if the snapshot is absent."""
+    try:
+        with open(path, encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
+    except OSError:
+        return None
+    exact, wild, exc = set(), set(), set()
+    for line in lines:
+        rule = line.strip()
+        if not rule or rule.startswith("//"):
+            continue
+        if rule.startswith("!"):
+            exc.add(rule[1:])
+        elif rule.startswith("*."):
+            wild.add(rule[2:])
+        else:
+            exact.add(rule)
+    return frozenset(exact), frozenset(wild), frozenset(exc)
+
+
+_psl = _load_psl(_PSL_PATH)
+if _psl is not None:
+    _EXACT_SUFFIXES, _WILDCARD_PARENTS, _WILDCARD_EXCEPTIONS = _psl
+else:  # pragma: no cover - snapshot ships with the package
+    _EXACT_SUFFIXES = _MULTI_SUFFIXES
+
+_MAX_EXACT_LABELS = max(s.count(".") for s in _EXACT_SUFFIXES) + 1
+_MAX_WILD_LABELS = max(s.count(".") for s in _WILDCARD_PARENTS) + 1
+_MAX_EXC_LABELS = max(s.count(".") for s in _WILDCARD_EXCEPTIONS) + 1
+
+
 def _suffix_labels(labels: list[str]) -> int:
     """Number of trailing labels forming the public suffix (≥1).
 
-    PSL resolution order (publicsuffix.org algorithm): exception rules
-    beat wildcards; wildcards beat explicit rules; explicit multi-label
-    rules beat the implicit one-label default.
+    PSL resolution (publicsuffix.org algorithm): exception rules
+    prevail outright; otherwise the longest matching rule wins, where
+    ``*.parent`` matches any single extra label and every single-label
+    tail matches the implicit default rule.
     """
+    n = len(labels)
     # exception `!www.ck`: suffix is the exception minus its first label
-    for take in (3, 2):
-        if len(labels) >= take and ".".join(labels[-take:]) in _WILDCARD_EXCEPTIONS:
+    for take in range(min(n, _MAX_EXC_LABELS), 0, -1):
+        if ".".join(labels[n - take:]) in _WILDCARD_EXCEPTIONS:
             return take - 1
+    best = 1  # implicit `*` default rule
+    for take in range(min(n, _MAX_EXACT_LABELS), 1, -1):
+        if ".".join(labels[n - take:]) in _EXACT_SUFFIXES:
+            best = take
+            break
     # wildcard `*.ck`: <anything>.<parent> is a suffix
-    for plen in (2, 1):
-        if len(labels) > plen and ".".join(labels[-plen:]) in _WILDCARD_PARENTS:
-            return plen + 1
-    if len(labels) >= 2 and ".".join(labels[-2:]) in _MULTI_SUFFIXES:
-        return 2
-    return 1
+    for plen in range(min(n - 1, _MAX_WILD_LABELS), 0, -1):
+        if plen + 1 > best and ".".join(labels[n - plen:]) in _WILDCARD_PARENTS:
+            best = plen + 1
+            break
+    return best
 
 
 def registered_domain(hostname: str) -> str:

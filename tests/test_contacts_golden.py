@@ -219,6 +219,19 @@ DOMAIN_VECTORS = [
     ("sub.www.ck", "www.ck"),
     ("city.kawasaki.jp", "city.kawasaki.jp"),
     ("a.city.kawasaki.jp", "city.kawasaki.jp"),
+    # suffixes beyond the old embedded subset, covered by the full
+    # ICANN PSL snapshot shipped as package data (r3 verdict item #6)
+    ("example.com.ng", "example.com.ng"),
+    ("www.example.com.ng", "example.com.ng"),
+    ("shop.example.co.ke", "example.co.ke"),
+    ("example.gov.ng", "example.gov.ng"),
+    ("host.example.com.ly", "example.com.ly"),
+    ("a.example.pvt.k12.ma.us", "example.pvt.k12.ma.us"),  # 4-label rule
+    ("example.com.bn", "example.com.bn"),
+    ("b.example.edu.eg", "example.edu.eg"),
+    # nic.za is itself an exact PSL rule — no registrable domain
+    ("nic.za", ""),
+    ("thing.nic.za", "thing.nic.za"),
 ]
 
 
