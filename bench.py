@@ -67,7 +67,7 @@ def _sentinel(spark, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
-def run_crawl_bench(spark, n_pages: int, tmp_root: str) -> dict:
+def run_crawl_bench(spark, n_pages: int, tmp_root: str, pre_extract: bool = False) -> dict:
     """Crawl the synthetic web; report wall time + throughputs."""
     # reuse the materialized pages across the min-of-2 crawl runs, but
     # never across a pagegen change (stamp = source hash)
@@ -92,6 +92,7 @@ def run_crawl_bench(spark, n_pages: int, tmp_root: str) -> dict:
         bloom_expected_per_part=max(n_pages // 16, 1000),
         checkpoint_dir=ckpt,
         run_id="bench",
+        pre_extract=pre_extract,
     )
     t0 = time.time()
     res = run_crawl(spark, seeds, pages, cfg)
@@ -159,6 +160,11 @@ def main() -> None:
     weather["crawl_runs_sec"] = [crawl["crawl_seconds"], crawl2["crawl_seconds"]]
     if crawl2["crawl_seconds"] < crawl["crawl_seconds"]:
         crawl = crawl2
+    # the replay-scale mode (one extraction pass + slim per-round
+    # joins) measured alongside the classic headline for comparability
+    crawl_pre = run_crawl_bench(spark, n_pages, tmp_root, pre_extract=True)
+    spark.catalog.clearCache()
+    weather["q1_after_preextract_crawl"] = _sentinel(spark, sf_dir)
 
     # Per-query time = min of 2 executions. This shared-host VM has
     # minute-scale noise windows that inflate identical plans 3-8×
@@ -197,6 +203,11 @@ def main() -> None:
                     "crawl_rounds": crawl["rounds"],
                 },
                 "weather": weather,
+                "crawl_replay_preextract": {
+                    "crawl_seconds": crawl_pre["crawl_seconds"],
+                    "frontier_urls_per_sec": crawl_pre["frontier_urls_per_sec"],
+                    "identifiers_per_sec": crawl_pre["identifiers_per_sec"],
+                },
             }
         )
     )

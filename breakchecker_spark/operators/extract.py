@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Tuple
 
 from pyspark.sql import DataFrame, Observation, functions as F
+from pyspark.sql import types as T
 
 from ..functions import udfs
 
@@ -47,12 +48,78 @@ class DropCounters:
             ("phones_dropped", int(self._phone_obs.get["value"])),
         ]
 
+class PreDrops:
+    """:class:`DropCounters` twin for the pre-extracted path: dropped
+    counts come pre-aggregated per page from the pre-extraction pass
+    and are summed per round by an Observation on the frontier⋈pre
+    join — same in-band, no-extra-job contract."""
+
+    def __init__(self, obs: Observation) -> None:
+        self._obs = obs
+
+    def get(self) -> list[tuple[str, int]]:
+        m = self._obs.get
+        return [
+            ("emails_dropped", int(m["ed"])),
+            ("phones_dropped", int(m["pd"])),
+        ]
+
+
 _JS_PATH = r"\.m?js$"
 
 
 def is_js_url(url_col):
     """True when the URL's *path* ends .js/.mjs (bc:1374)."""
     return udfs.url_path(url_col).rlike(_JS_PATH)
+
+
+def _enrich(src: DataFrame, keep: list[str]) -> DataFrame:
+    """Shared per-page feature pass: (keep..., hrefs, script_srcs,
+    emails_raw, phones_raw, _is_js) from (url, html, text) rows —
+    passes 1-3 of the module docstring as one Arrow pipeline."""
+    raw_str = F.when(
+        F.col("html").isNotNull(), F.decode(F.col("html"), "UTF-8")
+    ).otherwise(F.col("text"))
+
+    base = (
+        src.filter(F.col("html").isNotNull() | F.col("text").isNotNull())
+        .withColumn("_is_js", is_js_url(F.col("url")))
+        .withColumn("_raw", raw_str)
+    )
+
+    feats = base.withColumn(
+        "_h",
+        F.when(F.col("_is_js"), F.lit(None)).otherwise(udfs.harvest_page(F.col("_raw"))),
+    )
+    empty = F.array().cast("array<string>")
+
+    cand_raw = feats.withColumn("_c1", udfs.extract_candidates(F.col("_raw"))).withColumn(
+        "_c2",
+        F.when(F.col("_is_js") | F.col("text").isNull(), F.lit(None)).otherwise(
+            udfs.extract_candidates(F.col("text"))
+        ),
+    )
+
+    return cand_raw.select(
+        *keep,
+        F.coalesce(F.col("_h.hrefs"), empty).alias("hrefs"),
+        F.coalesce(F.col("_h.script_srcs"), empty).alias("script_srcs"),
+        F.concat(
+            F.coalesce(F.col("_c1.emails"), empty),
+            F.coalesce(F.col("_c2.emails"), empty),
+            F.coalesce(F.col("_h.mailto_raw"), empty),
+        ).alias("emails_raw"),
+        F.when(F.col("_is_js"), empty)
+        .otherwise(
+            F.concat(
+                F.coalesce(F.col("_c1.phones"), empty),
+                F.coalesce(F.col("_c2.phones"), empty),
+                F.coalesce(F.col("_h.tel_raw"), empty),
+            )
+        )
+        .alias("phones_raw"),
+        F.col("_is_js"),
+    )
 
 
 def process_pages(
@@ -77,51 +144,7 @@ def process_pages(
     * caches: cached intermediate DataFrames — caller unpersists them
       once the round's outputs are materialized.
     """
-    raw_str = F.when(
-        F.col("html").isNotNull(), F.decode(F.col("html"), "UTF-8")
-    ).otherwise(F.col("text"))
-
-    base = (
-        fetched.filter(F.col("html").isNotNull() | F.col("text").isNotNull())
-        .withColumn("_is_js", is_js_url(F.col("url")))
-        .withColumn("_raw", raw_str)
-    )
-
-    feats = base.withColumn(
-        "_h",
-        F.when(F.col("_is_js"), F.lit(None)).otherwise(udfs.harvest_page(F.col("_raw"))),
-    )
-    empty = F.array().cast("array<string>")
-
-    cand_raw = feats.withColumn("_c1", udfs.extract_candidates(F.col("_raw"))).withColumn(
-        "_c2",
-        F.when(F.col("_is_js") | F.col("text").isNull(), F.lit(None)).otherwise(
-            udfs.extract_candidates(F.col("text"))
-        ),
-    )
-
-    enriched = cand_raw.select(
-        "url",
-        "depth",
-        F.coalesce(F.col("_h.hrefs"), empty).alias("hrefs"),
-        F.coalesce(F.col("_h.script_srcs"), empty).alias("script_srcs"),
-        F.concat(
-            F.coalesce(F.col("_c1.emails"), empty),
-            F.coalesce(F.col("_c2.emails"), empty),
-            F.coalesce(F.col("_h.mailto_raw"), empty),
-        ).alias("emails_raw"),
-        F.when(F.col("_is_js"), empty)
-        .otherwise(
-            F.concat(
-                F.coalesce(F.col("_c1.phones"), empty),
-                F.coalesce(F.col("_c2.phones"), empty),
-                F.coalesce(F.col("_h.tel_raw"), empty),
-            )
-        )
-        .alias("phones_raw"),
-        F.col("_is_js"),
-    )
-    enriched = enriched.cache()
+    enriched = _enrich(fetched, ["url", "depth"]).cache()
 
     # ---- link candidates (depth + 1) -------------------------------
     links_udf = udfs.make_canonical_links_udf(scope_host, js_only=False)
@@ -198,6 +221,107 @@ def process_pages(
 
     caches = [enriched, email_rows_c, phone_rows_c]
     return link_candidates, contacts, DropCounters(email_obs, phone_obs), caches
+
+
+# --------------------------------------------------------- pre-extraction
+
+_NORM_CONTACTS_T = T.StructType(
+    [
+        T.StructField(
+            "contacts",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("identifier", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("emails_dropped", T.LongType()),
+        T.StructField("phones_dropped", T.LongType()),
+    ]
+)
+
+
+def _make_normalize_contacts_udf(default_region: str | None, org_domain: str):
+    """Per-page contact normalization + org/region filtering as ONE
+    Arrow batch op (no explode/groupBy shuffle): semantically identical
+    to process_pages' exploded normalize→filter chain, applied to each
+    page's (small) raw arrays in place."""
+    from ..functions import contacts as cfn
+
+    @F.pandas_udf(_NORM_CONTACTS_T)
+    def norm(emails_raw, phones_raw):
+        import pandas as pd
+
+        out = []
+        for es, ps in zip(emails_raw, phones_raw):
+            kept: list[dict] = []
+            ed = pd_ = 0
+            for raw in es if es is not None else []:
+                ident = cfn.normalize_email(raw) if raw else None
+                if ident is not None and cfn.email_org(ident) == org_domain:
+                    kept.append({"kind": "email", "identifier": ident})
+                else:
+                    ed += 1
+            for raw in ps if ps is not None else []:
+                ident = cfn.normalize_phone(raw, default_region) if raw else None
+                if ident is not None:
+                    kept.append({"kind": "phone", "identifier": ident})
+                else:
+                    pd_ += 1
+            out.append((kept, ed, pd_))
+        return pd.DataFrame(out, columns=["contacts", "emails_dropped", "phones_dropped"])
+
+    return norm
+
+
+def preextract_pages(
+    pages: DataFrame,
+    scope_host: str,
+    default_region: str | None,
+    org_domain: str,
+) -> DataFrame:
+    """One extraction pass over the whole pages table → the slim
+    per-page table the pre-extract crawl mode joins each round:
+
+        (url, links: array<string>, contacts: array<(kind, identifier)>,
+         emails_dropped, phones_dropped)
+
+    Scale rationale: the classic replay loop re-scans the full raw
+    pages table every BFS round for the fetch join (depth rounds × the
+    whole corpus — at 100 TB that is the dominant non-scaling cost),
+    and pays per-round pandas-UDF stage setup. Replay input is static,
+    so extraction is paid ONCE in a single embarrassingly-parallel
+    pass — the Common-Crawl shape: WARC → extracted link graph →
+    iterative BFS over slim rows (~100× smaller than raw pages).
+    Per-page outputs are exactly process_pages' (same UDFs, same
+    filters, same drop counters); tests/test_crawl_e2e.py proves
+    mode-for-mode equality of the whole crawl."""
+    enr = _enrich(pages.select("url", "html", "text"), ["url"])
+    links_udf = udfs.make_canonical_links_udf(scope_host, js_only=False)
+    scripts_udf = udfs.make_canonical_links_udf(scope_host, js_only=True)
+    empty = F.array().cast("array<string>")
+    norm_udf = _make_normalize_contacts_udf(default_region, org_domain)
+    return enr.select(
+        "url",
+        F.when(F.col("_is_js"), empty)
+        .otherwise(
+            F.concat(
+                links_udf(F.col("url"), F.col("hrefs")),
+                scripts_udf(F.col("url"), F.col("script_srcs")),
+            )
+        )
+        .alias("links"),
+        norm_udf(F.col("emails_raw"), F.col("phones_raw")).alias("_nc"),
+    ).select(
+        "url",
+        "links",
+        F.col("_nc.contacts").alias("contacts"),
+        F.col("_nc.emails_dropped").alias("emails_dropped"),
+        F.col("_nc.phones_dropped").alias("phones_dropped"),
+    )
 
 
 def snippet_windows(

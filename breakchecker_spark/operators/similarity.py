@@ -168,8 +168,48 @@ def deterministic_centroids(dim: int, n_centroids: int, seed: int = 42) -> np.nd
     return w
 
 
+def train_centroids(
+    corpus: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means (Lloyd) coarse quantizer, fully distributed.
+
+    Deterministic: initialized from the md5 centroids (no sampling),
+    each iteration assigns every vector to its nearest cell (the same
+    Arrow UDF the search path uses) and recomputes means JVM-side —
+    ``posexplode`` + ``groupBy(cell, pos).avg`` is one shuffle of
+    n_vectors×dim scalar rows with map-side partial aggregation; only
+    the n_centroids×dim means reach the driver per iteration. Cells
+    that lose all members keep their previous centroid. Trained
+    centroids plug into :func:`ivf_topk` via ``centroids=``; the
+    oracle-gated default stays md5 (SQL-re-derivable)."""
+    cents = deterministic_centroids(dim, n_centroids, seed)
+    for _ in range(n_iters):
+        assign = make_ivf_assign_udf(dim, n_centroids, seed, 1, centroids=cents)
+        means = (
+            corpus.select(assign(F.col(vec_col))[0].alias("cell"), vec_col)
+            .select("cell", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in means:
+            new[r["cell"], r["pos"]] = r["m"]
+        cents = new
+    return cents
+
+
 def make_ivf_assign_udf(
-    dim: int, n_centroids: int = 8, seed: int = 42, nprobe: int = 1
+    dim: int,
+    n_centroids: int = 8,
+    seed: int = 42,
+    nprobe: int = 1,
+    centroids: np.ndarray | None = None,
 ):
     """array<float> → the vector's ``nprobe`` nearest cells (array<int>).
 
@@ -177,8 +217,15 @@ def make_ivf_assign_udf(
     constant |v|, which cannot change the ranking; rounding to 6
     decimals BEFORE ranking pins cross-engine float ties (numpy dot vs
     SQL sum ordering). Ties break on ascending centroid id.
+
+    ``centroids`` overrides the md5 construction (e.g. k-means output
+    from :func:`train_centroids`); the scoring/rank pin is identical.
     """
-    cents = deterministic_centroids(dim, n_centroids, seed)
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(dim, n_centroids, seed)
+    )
     norms = np.linalg.norm(cents, axis=1)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -206,6 +253,7 @@ def ivf_topk(
     n_centroids: int = 8,
     nprobe: int = 2,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus into cells, probe only
     the query's ``nprobe`` nearest cells, exact-score within.
@@ -214,9 +262,13 @@ def ivf_topk(
     (Iceberg partition transform on the assignment), a query touches
     nprobe/n_centroids of the data, and the cross join becomes an
     equi-join on cell — recall trades with nprobe instead of planes.
+
+    ``centroids``: trained quantizer (see :func:`train_centroids`) —
+    same search shape, better-balanced cells; default md5 centroids
+    keep the DuckDB oracle able to re-derive assignments.
     """
-    assign_q = make_ivf_assign_udf(dim, n_centroids, seed, nprobe)
-    assign_c = make_ivf_assign_udf(dim, n_centroids, seed, 1)
+    assign_q = make_ivf_assign_udf(dim, n_centroids, seed, nprobe, centroids)
+    assign_c = make_ivf_assign_udf(dim, n_centroids, seed, 1, centroids)
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .withColumn("cell", F.explode(assign_q(F.col("qv"))))

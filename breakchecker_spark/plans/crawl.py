@@ -101,6 +101,16 @@ class CrawlConfig:
     # rounds once they hold that many delta versions — the Iceberg
     # rewrite_data_files maintenance analogue. 0 disables.
     compact_every: int = 16
+    # Replay-scale mode: run ONE extraction pass over the whole pages
+    # table up front (extract.preextract_pages) and join each round's
+    # frontier against the slim per-page (links, contacts, drops) table
+    # instead of re-scanning + re-extracting raw pages every round.
+    # Results are identical (tests/test_crawl_e2e.py equality matrix);
+    # the classic mode models live fetching, where pages at depth d+1
+    # don't exist until round d ran. At Common-Crawl replay scale the
+    # per-round full-corpus rescan is the dominant non-scaling cost —
+    # pre-extraction pays it once, embarrassingly parallel.
+    pre_extract: bool = False
     checkpoint_dir: Optional[str] = None
     run_id: str = "run0"
     max_rounds: int = 1000
@@ -264,6 +274,14 @@ def run_crawl(
         host_budgets = politeness.crawl_delay_budgets(robots, config.round_seconds)
 
     pages_slim = pages.select("url", "html", "text")
+    pre = None
+    if config.pre_extract:
+        # one extraction pass, persisted for the whole run (the rounds
+        # consume slim rows only; deterministic, so resume recomputes
+        # it rather than checkpointing raw-page-derived state)
+        pre = extract.preextract_pages(
+            pages_slim, config.scope_host, config.default_region, config.org_domain
+        ).withColumnRenamed("url", "_fk").persist()
     rounds_run = start_round
     frontier_rows = -1  # unknown → check lazily
     if resume and store is not None and store.manifest() is not None:
@@ -322,9 +340,11 @@ def run_crawl(
             fetch_input = fetch_input.join(
                 F.broadcast(dead_hosts.select("host")), "host", "left_anti"
             )
-        fetched = fetch_input.withColumn("_fk", _fetch_key(F.col("url"))).join(
-            pages_slim.withColumnRenamed("url", "_fk"), "_fk", "left"
-        ).select("url", "depth", "html", "text")
+        keyed_input = fetch_input.withColumn("_fk", _fetch_key(F.col("url")))
+        if pre is None:
+            fetched = keyed_input.join(
+                pages_slim.withColumnRenamed("url", "_fk"), "_fk", "left"
+            ).select("url", "depth", "html", "text")
 
         # incremental bloom: OR a delta filter over only this round's new
         # keys into the running filter — the full seen table is never
@@ -344,10 +364,39 @@ def run_crawl(
             bloom_next = bloom_next.cache()
             round_caches.append(bloom_next)
 
-        # 5. extract + expand
-        link_cands, round_contacts, drops, caches = extract.process_pages(
-            fetched, config.scope_host, config.default_region, config.org_domain
-        )
+        # 5. extract + expand — classic: pandas-UDF extraction over this
+        # round's fetched raw pages; pre-extract: a slim join against
+        # the one-pass table (no raw-page scan, no per-round UDF stage)
+        if pre is None:
+            link_cands, round_contacts, drops, caches = extract.process_pages(
+                fetched, config.scope_host, config.default_region, config.org_domain
+            )
+        else:
+            from pyspark.sql import Observation
+
+            drop_obs = Observation()
+            joined = keyed_input.join(pre, "_fk", "left").observe(
+                drop_obs,
+                F.coalesce(F.sum("emails_dropped"), F.lit(0)).alias("ed"),
+                F.coalesce(F.sum("phones_dropped"), F.lit(0)).alias("pd"),
+            ).cache()
+            round_caches.append(joined)
+            link_cands = (
+                joined.select(
+                    F.explode("links").alias("url"),
+                    (F.col("depth") + 1).alias("depth"),
+                ).distinct()
+            )
+            round_contacts = joined.select(
+                "url", "depth", F.explode("contacts").alias("_c")
+            ).select(
+                F.col("_c.kind").alias("kind"),
+                F.col("_c.identifier").alias("identifier"),
+                F.col("url").alias("source_url"),
+                "depth",
+            )
+            drops = extract.PreDrops(drop_obs)
+            caches = []
         pre_candidates = seen.with_struct_key(
             link_cands.filter(F.col("depth") <= config.max_depth).withColumn(
                 "host", udfs.url_host(F.col("url"))
@@ -512,6 +561,11 @@ def run_crawl(
         for df in round_caches:
             df.unpersist()
 
+    if pre is not None:
+        # every round's state was materialized (store read-back or
+        # eager localCheckpoint), so nothing returned still depends on
+        # the persisted pre-extraction table
+        pre.unpersist()
     deduped = extract.dedup_contacts(all_contacts)
     summary = {
         "num_endpoints": url_seen.count(),

@@ -47,7 +47,8 @@ seeds = pagegen.seeds_df(spark)
 ckpt = tempfile.mkdtemp(prefix="scalec_ckpt_")
 cfg = CrawlConfig(scope_host=pagegen.ORG, max_depth=12, use_bloom=True,
                   bloom_parts=32, bloom_expected_per_part=max(n_pages // 16, 1000),
-                  checkpoint_dir=ckpt, run_id=f"scalec{{cpus}}")
+                  checkpoint_dir=ckpt, run_id=f"scalec{{cpus}}",
+                  pre_extract={pre_extract})
 t0 = time.time()
 res = run_crawl(spark, seeds, pages, cfg)
 visited = res.summary["num_endpoints"]
@@ -62,8 +63,11 @@ print("SCALERESULT " + json.dumps({{
 """
 
 
-def run_level(cpus: int, n_pages: int, filler: int) -> dict:
-    code = _CHILD.format(repo=REPO, cpus=cpus, n_pages=n_pages, filler=filler)
+def run_level(cpus: int, n_pages: int, filler: int, pre_extract: bool) -> dict:
+    code = _CHILD.format(
+        repo=REPO, cpus=cpus, n_pages=n_pages, filler=filler,
+        pre_extract=pre_extract,
+    )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
@@ -80,12 +84,16 @@ def main() -> None:
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     n_pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     filler = int(sys.argv[4]) if len(sys.argv) > 4 else 160
+    # pre-extract (the replay-scale mode: one extraction pass + slim
+    # per-round joins) is the measured default since r4; pass 0 to
+    # measure the classic per-round-extraction loop
+    pre_extract = (sys.argv[5] != "0") if len(sys.argv) > 5 else True
     n_big = n_small * 4
 
     pairs = []
     for i in range(n_pairs):
-        s = run_level(n_small, n_pages, filler)
-        b = run_level(n_big, n_pages, filler)
+        s = run_level(n_small, n_pages, filler, pre_extract)
+        b = run_level(n_big, n_pages, filler, pre_extract)
         pairs.append((s, b))
         print(json.dumps({"pair": i, "small_crawl_s": s["crawl_seconds"],
                           "big_crawl_s": b["crawl_seconds"]}), flush=True)
@@ -95,6 +103,7 @@ def main() -> None:
     )
     report = {
         "n": n_small, "4n": n_big, "pages": n_pages, "filler": filler,
+        "pre_extract": pre_extract,
         "pairs": [
             {"small": s, "big": b} for s, b in pairs
         ],

@@ -58,10 +58,13 @@ def _engine_contacts(result):
     return emails, phones
 
 
-@pytest.mark.parametrize("use_bloom", [False, True])
-def test_full_crawl_matches_oracle(spark, pages_df, seeds_df, use_bloom):
+@pytest.mark.parametrize(
+    "use_bloom,pre_extract", [(False, False), (True, False), (True, True)]
+)
+def test_full_crawl_matches_oracle(spark, pages_df, seeds_df, use_bloom, pre_extract):
     cfg = CrawlConfig(scope_host=fixture_web.SCOPE, max_depth=3, use_bloom=use_bloom,
-                      bloom_parts=4, bloom_expected_per_part=1000)
+                      bloom_parts=4, bloom_expected_per_part=1000,
+                      pre_extract=pre_extract)
     result = run_crawl(spark, seeds_df, pages_df, cfg)
     sim = _sim(max_depth=3)
 
@@ -69,6 +72,37 @@ def test_full_crawl_matches_oracle(spark, pages_df, seeds_df, use_bloom):
     emails, phones = _engine_contacts(result)
     assert emails == sim.emails
     assert phones == sim.phones
+
+
+def test_pre_extract_equals_classic_with_budget_and_robots(
+    spark, pages_df, seeds_df
+):
+    """Pre-extract mode must be output-identical to the classic loop
+    under the adversarial configs too: politeness carry-over rounds
+    (deferred rows re-join later frontiers) and robots gating. Metrics
+    (incl. the per-round drop counters, which pre-extract aggregates
+    via a different mechanism) must also match round for round."""
+    robots_rows = [("example.com", "/deep", 1.0)]
+    robots_df = spark.createDataFrame(robots_rows, schema=schemas.ROBOTS)
+    base = dict(scope_host=fixture_web.SCOPE, max_depth=3, host_budget=1,
+                use_bloom=True, bloom_parts=4, bloom_expected_per_part=1000)
+    a = run_crawl(spark, seeds_df, pages_df, CrawlConfig(**base), robots=robots_df)
+    b = run_crawl(
+        spark, seeds_df, pages_df, CrawlConfig(**base, pre_extract=True),
+        robots=robots_df,
+    )
+    assert _engine_visited(a) == _engine_visited(b)
+    assert _engine_contacts(a) == _engine_contacts(b)
+    ma = sorted(
+        map(tuple, a.metrics.select("round", "metric", "value")
+            .filter(F.col("metric") != "round_millis").collect())
+    )
+    mb = sorted(
+        map(tuple, b.metrics.select("round", "metric", "value")
+            .filter(F.col("metric") != "round_millis").collect())
+    )
+    assert ma == mb
+    assert a.rounds == b.rounds > 4
 
 
 def test_depth_gate(spark, pages_df, seeds_df):
@@ -160,6 +194,26 @@ def test_resume_equals_uninterrupted(spark, pages_df, seeds_df, tmp_path):
     full = run_crawl(spark, seeds_df, pages_df, CrawlConfig(**base))
 
     # killed after 2 rounds, then resumed
+    cfg_kill = CrawlConfig(**base, checkpoint_dir=ckpt, max_rounds=2)
+    run_crawl(spark, seeds_df, pages_df, cfg_kill)
+    cfg_resume = CrawlConfig(**base, checkpoint_dir=ckpt)
+    resumed = run_crawl(spark, seeds_df, pages_df, cfg_resume, resume=True)
+
+    assert _engine_visited(resumed) == _engine_visited(full)
+    assert _engine_contacts(resumed) == _engine_contacts(full)
+
+
+def test_pre_extract_resume_equals_uninterrupted(
+    spark, pages_df, seeds_df, tmp_path
+):
+    """Kill/resume under pre_extract: the pre-extraction table is
+    deterministic from pages, so resume recomputes it and the final
+    state must equal the uninterrupted run."""
+    ckpt = str(tmp_path / "ckpt_pre")
+    base = dict(scope_host=fixture_web.SCOPE, max_depth=3, use_bloom=True,
+                bloom_parts=4, bloom_expected_per_part=1000, pre_extract=True)
+
+    full = run_crawl(spark, seeds_df, pages_df, CrawlConfig(**base))
     cfg_kill = CrawlConfig(**base, checkpoint_dir=ckpt, max_rounds=2)
     run_crawl(spark, seeds_df, pages_df, cfg_kill)
     cfg_resume = CrawlConfig(**base, checkpoint_dir=ckpt)
