@@ -374,8 +374,15 @@ def run_crawl(
         else:
             from pyspark.sql import Observation
 
+            # INNER join deliberately: frontier URLs with no page are
+            # already in url_seen (marked before the fetch) and a
+            # pre-extract row can't exist for them — they contribute no
+            # links/contacts/drops either way. Inner keeps the frontier
+            # side broadcastable (AQE picks broadcast from the cached
+            # eligible stats), so the persisted pre table is scanned,
+            # never shuffled, each round — the seen-join property again.
             drop_obs = Observation()
-            joined = keyed_input.join(pre, "_fk", "left").observe(
+            joined = keyed_input.join(pre, "_fk").observe(
                 drop_obs,
                 F.coalesce(F.sum("emails_dropped"), F.lit(0)).alias("ed"),
                 F.coalesce(F.sum("phones_dropped"), F.lit(0)).alias("pd"),
