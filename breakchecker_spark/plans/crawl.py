@@ -278,10 +278,15 @@ def run_crawl(
     if config.pre_extract:
         # one extraction pass, persisted for the whole run (the rounds
         # consume slim rows only; deterministic, so resume recomputes
-        # it rather than checkpointing raw-page-derived state)
+        # it rather than checkpointing raw-page-derived state).
+        # Materialized eagerly: the pass is the run's biggest single
+        # job and this keeps it out of round-0's phase accounting.
+        t_pre = time.time()
         pre = extract.preextract_pages(
             pages_slim, config.scope_host, config.default_region, config.org_domain
         ).withColumnRenamed("url", "_fk").persist()
+        pre.count()
+        _tlog("pre-extract pass", t_pre)
     rounds_run = start_round
     frontier_rows = -1  # unknown → check lazily
     if resume and store is not None and store.manifest() is not None:
