@@ -68,12 +68,26 @@ def run_level(cpus: int, n_pages: int, filler: int, pre_extract: bool) -> dict:
         repo=REPO, cpus=cpus, n_pages=n_pages, filler=filler,
         pre_extract=pre_extract,
     )
+    env = dict(os.environ, SPARK_GRAFT_DEBUG_TIMING="1")
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3600, env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("SCALERESULT "):
-            return json.loads(line[len("SCALERESULT "):])
+            result = json.loads(line[len("SCALERESULT "):])
+            # self-decomposition: attribute each level's wall clock to
+            # the one-pass extraction vs the BFS rounds, so a stormy
+            # draw is visible per pair, not reconstructed later
+            import re as _re
+
+            m = _re.search(r"TIMING pre-extract pass: ([0-9.]+)s", out.stderr)
+            if m:
+                result["preextract_s"] = float(m.group(1))
+                result["rounds_s"] = round(
+                    result["crawl_seconds"] - float(m.group(1)), 2
+                )
+            return result
     raise RuntimeError(
         f"no result from local[{cpus}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
     )
