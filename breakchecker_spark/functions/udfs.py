@@ -107,6 +107,72 @@ def extract_candidates(text: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"emails": emails, "phones": phones})
 
 
+PAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("hrefs", T.ArrayType(T.StringType())),
+        T.StructField("script_srcs", T.ArrayType(T.StringType())),
+        T.StructField("emails_raw", T.ArrayType(T.StringType())),
+        T.StructField("phones_raw", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@F.pandas_udf(PAGE_FEATURES_SCHEMA)
+def page_features(raw: pd.Series, text: pd.Series, is_js: pd.Series) -> pd.DataFrame:
+    """Fused per-page pass: harvest + raw-sweep + text-sweep in ONE
+    Arrow round trip.
+
+    Semantically identical to the harvest_page/extract_candidates
+    composition in operators/extract.py:_enrich (same gating: no
+    harvest and no phones for .js URLs; no text sweep when text is
+    null), but the big raw string crosses the JVM↔Python Arrow
+    boundary once instead of twice and one python runner replaces
+    three chained ones — the extraction pass is the crawl's dominant
+    cost at replay scale, so the transfer matters.
+    """
+    hrefs, srcs, emails_out, phones_out = [], [], [], []
+    for doc, txt, js in zip(raw, text, is_js):
+        if doc is None:
+            doc = ""
+        page_hrefs: List[str] = []
+        page_srcs: List[str] = []
+        mailtos: List[str] = []
+        tels: List[str] = []
+        if not js and doc:
+            h = htmlx.harvest(doc, collect_text=False)
+            page_hrefs, page_srcs = h.hrefs, h.script_srcs
+            for href in h.hrefs:
+                low = href.strip().lower()
+                if low.startswith("mailto:"):
+                    mailtos.extend(contacts.mailto_addresses(href))
+                elif low.startswith("tel:"):
+                    tels.extend(contacts.tel_numbers(href))
+        if doc:
+            normed = textnorm.norm_text(doc)
+            e1 = contacts.extract_emails(normed)
+            p1 = contacts.extract_phones(normed)
+        else:
+            e1, p1 = [], []
+        if not js and txt:
+            normed_t = textnorm.norm_text(txt)
+            e2 = contacts.extract_emails(normed_t)
+            p2 = contacts.extract_phones(normed_t)
+        else:
+            e2, p2 = [], []
+        hrefs.append(page_hrefs)
+        srcs.append(page_srcs)
+        emails_out.append(e1 + e2 + mailtos)
+        phones_out.append([] if js else p1 + p2 + tels)
+    return pd.DataFrame(
+        {
+            "hrefs": hrefs,
+            "script_srcs": srcs,
+            "emails_raw": emails_out,
+            "phones_raw": phones_out,
+        }
+    )
+
+
 # --------------------------------------------------------- URL lifting
 
 

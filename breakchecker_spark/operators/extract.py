@@ -76,7 +76,9 @@ def is_js_url(url_col):
 def _enrich(src: DataFrame, keep: list[str]) -> DataFrame:
     """Shared per-page feature pass: (keep..., hrefs, script_srcs,
     emails_raw, phones_raw, _is_js) from (url, html, text) rows —
-    passes 1-3 of the module docstring as one Arrow pipeline."""
+    passes 1-3 of the module docstring as one FUSED Arrow pipeline
+    (udfs.page_features: the big raw string crosses the Arrow boundary
+    once; one python runner instead of three chained ones)."""
     raw_str = F.when(
         F.col("html").isNotNull(), F.decode(F.col("html"), "UTF-8")
     ).otherwise(F.col("text"))
@@ -88,36 +90,14 @@ def _enrich(src: DataFrame, keep: list[str]) -> DataFrame:
     )
 
     feats = base.withColumn(
-        "_h",
-        F.when(F.col("_is_js"), F.lit(None)).otherwise(udfs.harvest_page(F.col("_raw"))),
+        "_pf", udfs.page_features(F.col("_raw"), F.col("text"), F.col("_is_js"))
     )
-    empty = F.array().cast("array<string>")
-
-    cand_raw = feats.withColumn("_c1", udfs.extract_candidates(F.col("_raw"))).withColumn(
-        "_c2",
-        F.when(F.col("_is_js") | F.col("text").isNull(), F.lit(None)).otherwise(
-            udfs.extract_candidates(F.col("text"))
-        ),
-    )
-
-    return cand_raw.select(
+    return feats.select(
         *keep,
-        F.coalesce(F.col("_h.hrefs"), empty).alias("hrefs"),
-        F.coalesce(F.col("_h.script_srcs"), empty).alias("script_srcs"),
-        F.concat(
-            F.coalesce(F.col("_c1.emails"), empty),
-            F.coalesce(F.col("_c2.emails"), empty),
-            F.coalesce(F.col("_h.mailto_raw"), empty),
-        ).alias("emails_raw"),
-        F.when(F.col("_is_js"), empty)
-        .otherwise(
-            F.concat(
-                F.coalesce(F.col("_c1.phones"), empty),
-                F.coalesce(F.col("_c2.phones"), empty),
-                F.coalesce(F.col("_h.tel_raw"), empty),
-            )
-        )
-        .alias("phones_raw"),
+        F.col("_pf.hrefs").alias("hrefs"),
+        F.col("_pf.script_srcs").alias("script_srcs"),
+        F.col("_pf.emails_raw").alias("emails_raw"),
+        F.col("_pf.phones_raw").alias("phones_raw"),
         F.col("_is_js"),
     )
 
