@@ -181,6 +181,12 @@ def _load_psl(path: str):
             wild.add(rule[2:])
         else:
             exact.add(rule)
+    if not (exact and wild and exc):
+        # a truncated/corrupt snapshot that parses but misses a rule
+        # category would poison suffix resolution (and an empty-set
+        # max() would crash the import) — fall back to the embedded
+        # subsets instead (ADVICE r4)
+        return None
     return frozenset(exact), frozenset(wild), frozenset(exc)
 
 
@@ -190,9 +196,9 @@ if _psl is not None:
 else:  # pragma: no cover - snapshot ships with the package
     _EXACT_SUFFIXES = _MULTI_SUFFIXES
 
-_MAX_EXACT_LABELS = max(s.count(".") for s in _EXACT_SUFFIXES) + 1
-_MAX_WILD_LABELS = max(s.count(".") for s in _WILDCARD_PARENTS) + 1
-_MAX_EXC_LABELS = max(s.count(".") for s in _WILDCARD_EXCEPTIONS) + 1
+_MAX_EXACT_LABELS = max((s.count(".") for s in _EXACT_SUFFIXES), default=0) + 1
+_MAX_WILD_LABELS = max((s.count(".") for s in _WILDCARD_PARENTS), default=0) + 1
+_MAX_EXC_LABELS = max((s.count(".") for s in _WILDCARD_EXCEPTIONS), default=0) + 1
 
 
 def _suffix_labels(labels: list[str]) -> int:

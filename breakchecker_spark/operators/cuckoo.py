@@ -326,11 +326,17 @@ def filter_new(
         probed = probed.cache()
     definitely_new = probed.filter(~F.col("maybe_seen")).select(*cand_cols)
     survivors = probed.filter(F.col("maybe_seen")).select(*cand_cols)
-    if need_guard and survivors.count() > max_broadcast_rows:
-        new_survivors = survivors.join(
-            seen.select("key_hash"), "key_hash", "left_anti"
-        )
-        return definitely_new.unionByName(new_survivors)
+    if need_guard:
+        big = survivors.count() > max_broadcast_rows
+        if cache_registry is None:
+            # release the guard's cache on the registry-less path —
+            # same leak fix as seen.filter_new (ADVICE r4)
+            probed.unpersist()
+        if big:
+            new_survivors = survivors.join(
+                seen.select("key_hash"), "key_hash", "left_anti"
+            )
+            return definitely_new.unionByName(new_survivors)
     confirmed = seen.select("key_hash").join(
         F.broadcast(survivors.select("key_hash")), "key_hash", "left_semi"
     )

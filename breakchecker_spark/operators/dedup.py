@@ -86,6 +86,11 @@ def distinct_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ------------------------------------------------- n-gram Jaccard
 
 
+# one-slot registry for jaccard_pairs' shingle cache when the caller
+# doesn't pass a cache_registry — see the unpersist note in the body
+_LAST_SH_CACHE: list = []
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -93,6 +98,8 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     broadcast_max_docs: int | None = 200_000,
+    broadcast_max_shingles: int = 8_000_000,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via prefix-filtered candidate join.
 
@@ -141,9 +148,33 @@ def jaccard_pairs(
     ).withColumn("n_sh", F.size("sh"))
     small_corpus = False
     if broadcast_max_docs is not None:
-        small_corpus = df.count() <= broadcast_max_docs
+        # Two-step probe (ADVICE r4: doc count alone doesn't bound the
+        # broadcast BYTES — 200k large docs can make the dfreq table
+        # and the per-doc shingle sets hundreds of MB): only when the
+        # doc count qualifies, a second aggregate bounds total shingle
+        # volume by the whitespace-token count (n_sh ≤ tokens). The
+        # token scan runs only on corpora already known to be small.
+        if df.count() <= broadcast_max_docs:
+            est_shingles = (
+                df.agg(
+                    F.sum(
+                        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+                    )
+                ).first()[0]
+                or 0
+            )
+            small_corpus = est_shingles <= broadcast_max_shingles
         if small_corpus:
             sh = sh.persist()
+            if cache_registry is not None:
+                cache_registry.append(sh)
+            else:
+                # registry-less callers (bench, notebooks): bound the
+                # leak to ONE cached plan per session by releasing the
+                # previous call's shingle cache (ADVICE r4)
+                if _LAST_SH_CACHE:
+                    _LAST_SH_CACHE.pop().unpersist()
+                _LAST_SH_CACHE.append(sh)
     exploded = sh.select("id", F.explode("sh").alias("shingle"))
     # map-side partial count: this shuffle carries ~distinct shingles
     # per task, not full exploded rows

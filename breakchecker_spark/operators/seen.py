@@ -222,8 +222,17 @@ def filter_new(
     definitely_new = probed.filter(~F.col("maybe_seen")).select(*cand_cols)
     survivors = probed.filter(F.col("maybe_seen")).select(*cand_cols)
 
-    if need_guard and survivors.count() > max_broadcast_rows:
-        strategy = "anti"
+    if need_guard:
+        big = survivors.count() > max_broadcast_rows
+        if cache_registry is None:
+            # registry-less caller: the count was the guard's only
+            # mandatory consumer — release the cache now rather than
+            # leaking one cached plan per call in a long-lived session
+            # (ADVICE r4); the returned plan recomputes the (cheap)
+            # bloom probe when materialized.
+            probed.unpersist()
+        if big:
+            strategy = "anti"
 
     if strategy == "anti":
         new_survivors = survivors.join(
