@@ -56,6 +56,7 @@ def make_handler(runner):
                     domain,
                     int(payload.get("depth", 3)),
                     payload.get("budget"),
+                    bool(payload.get("pre_extract", False)),
                 )
             except ValueError as exc:  # domain validation (views.py:41)
                 self._reply(400, {"error": str(exc)})
@@ -81,7 +82,9 @@ def make_runner(pages_path: str, breach_db_path: str | None = None):
         spark.read.parquet(breach_db_path) if breach_db_path else None
     )
 
-    def run(domain: str, depth: int, budget: int | None) -> dict:
+    def run(
+        domain: str, depth: int, budget: int | None, pre_extract: bool = False
+    ) -> dict:
         import datetime
         import time as time_mod
 
@@ -96,7 +99,14 @@ def make_runner(pages_path: str, breach_db_path: str | None = None):
             spark,
             seeds,
             pages,
-            CrawlConfig(scope_host=domain, max_depth=depth, host_budget=budget),
+            CrawlConfig(
+                scope_host=domain,
+                max_depth=depth,
+                host_budget=budget,
+                # replay-scale mode on request: one extraction pass +
+                # slim per-round joins (output-identical)
+                pre_extract=pre_extract,
+            ),
         )
         contacts = result.contacts
         if breach_db is not None:

@@ -33,6 +33,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--depth", type=int, default=3)
     p.add_argument("--budget", type=int, default=None, help="max URLs per host per round")
     p.add_argument("--no-bloom", action="store_true")
+    p.add_argument(
+        "--pre-extract",
+        action="store_true",
+        help="replay-scale mode: one extraction pass over the pages "
+        "table up front, slim per-round frontier joins after "
+        "(output-identical to the classic per-round extraction; "
+        "the right plan when the whole corpus is pre-materialized)",
+    )
     p.add_argument("--checkpoint", help="checkpoint dir (enables exact resume)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--output", default=None, help="report file path")
@@ -90,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
         max_depth=args.depth,
         host_budget=args.budget,
         use_bloom=not args.no_bloom,
+        pre_extract=args.pre_extract,
         checkpoint_dir=args.checkpoint,
     )
     result = run_crawl(spark, raw_seeds, pages, cfg, robots=robots, resume=args.resume)

@@ -618,6 +618,21 @@ def crawl_frontier_bfs(spark, sf_dir):
     recomputes reachable URLs and min-depth attribution with a
     ``WITH RECURSIVE`` CTE — any divergence in canonicalization, seen
     semantics, round ordering, or the depth gate fails the hash."""
+    return _bfs_run(spark, sf_dir, pre_extract=False)
+
+
+def crawl_frontier_bfs_preextract(spark, sf_dir):
+    """The replay-scale crawl plan under the same hash gate as the
+    classic mode (r4 verdict item #1): ``run_crawl`` with
+    ``pre_extract=True`` — ONE extraction pass over the corpus, then
+    slim per-round frontier⋈pre joins (plans/crawl.py). Same
+    documents-derived link graph, same ``WITH RECURSIVE`` oracle; a
+    divergence between the one-pass extraction table and the classic
+    per-round extraction fails the hash."""
+    return _bfs_run(spark, sf_dir, pre_extract=True)
+
+
+def _bfs_run(spark, sf_dir, pre_extract: bool):
     from .plans.crawl import CrawlConfig, run_crawl
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -652,7 +667,110 @@ def crawl_frontier_bfs(spark, sf_dir):
         spark,
         spark.createDataFrame([(_BFS_HOST, "https")], schema=schemas.SEEDS),
         root.unionByName(pages),
-        CrawlConfig(scope_host=_BFS_HOST, max_depth=_BFS_DEPTH),
+        CrawlConfig(
+            scope_host=_BFS_HOST, max_depth=_BFS_DEPTH, pre_extract=pre_extract
+        ),
+    )
+    return res.url_seen.select(
+        "url", F.col("depth").cast("int").alias("depth")
+    ).orderBy("url")
+
+
+_BFS_BUDGET_DEPTH = 8
+
+
+def crawl_frontier_bfs_budget(spark, sf_dir):
+    """Politeness under the hash gate (r4 verdict item #4): the real
+    ``run_crawl`` loop with per-host budgets AND robots rules over a
+    TWO-host link graph — even ``doc_id`` pages live on
+    ``a.docs.example``, odd on ``b.docs.example``, same
+    ``(7i+1, 3i+2, 5i+3) % N`` edges (targets hop hosts by parity).
+    Host ``a`` gets the flat ``host_budget`` = max(3, N//40) and a
+    robots ``Disallow: /p1`` prefix (every page whose decimal id
+    starts with '1' is blocked); host ``b`` gets
+    ``Crawl-delay: 2`` with ``round_seconds`` = 2·max(4, N//20), so
+    :func:`politeness.crawl_delay_budgets` derives budget
+    max(4, N//20). Deferred rows carry over at their discovery depth
+    and pin it against later rediscovery (the anti-join in
+    plans/crawl.py) — depth attribution is path-dependent, so the
+    oracle simulates the rounds literally: a ``WITH RECURSIVE`` CTE
+    whose state rows are (round, seen|queue, id, depth), applying the
+    same robots drop, per-host (depth, url)-ordered top-k, and
+    enqueue-time anti-joins per iteration. Runs in ``pre_extract``
+    mode (the 100 TB replay plan; classic ≡ pre-extract under
+    budgets+robots is pinned by tests/test_crawl_e2e.py)."""
+    from .plans.crawl import CrawlConfig, run_crawl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # fixture-construction scalar, not part of the op
+    budget_a = max(3, n // 40)
+    budget_b = max(4, n // 20)
+    ts = datetime.datetime(2025, 1, 1)
+    host_a, host_b = "a.docs.example", "b.docs.example"
+
+    def _url(idc):
+        return F.concat(
+            F.lit("https://"),
+            F.when(idc % 2 == 0, F.lit(host_a)).otherwise(F.lit(host_b)),
+            F.lit("/p"),
+            idc.cast("string"),
+        )
+
+    def _link(expr):
+        return F.concat(F.lit('<a href="'), _url(expr), F.lit('">l</a>'))
+
+    html = F.concat(
+        F.lit("<html><body>"),
+        _link((F.col("doc_id") * 7 + 1) % n),
+        _link((F.col("doc_id") * 3 + 2) % n),
+        _link((F.col("doc_id") * 5 + 3) % n),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        _url(F.col("doc_id")).alias("url"),
+        F.lit(ts).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit("link page").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    roots = spark.createDataFrame(
+        [
+            (
+                f"https://{host_a}/",
+                ts,
+                f'<html><body><a href="https://{host_a}/p0">r</a></body></html>'.encode(),
+                "root",
+                "en",
+            ),
+            (
+                f"https://{host_b}/",
+                ts,
+                f'<html><body><a href="https://{host_b}/p1">r</a></body></html>'.encode(),
+                "root",
+                "en",
+            ),
+        ],
+        schema=schemas.PAGES,
+    )
+    robots = spark.createDataFrame(
+        [(host_a, "/p1", None), (host_b, None, 2.0)],
+        "host string, disallow_prefix string, crawl_delay double",
+    )
+    seeds = spark.createDataFrame(
+        [(host_a, "https"), (host_b, "https")], schema=schemas.SEEDS
+    )
+    res = run_crawl(
+        spark,
+        seeds,
+        roots.unionByName(pages),
+        CrawlConfig(
+            scope_host="docs.example",
+            max_depth=_BFS_BUDGET_DEPTH,
+            host_budget=budget_a,
+            round_seconds=2.0 * budget_b,
+            pre_extract=True,
+        ),
+        robots=robots,
     )
     return res.url_seen.select(
         "url", F.col("depth").cast("int").alias("depth")
@@ -699,6 +817,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decoded_stats": multimodal_decoded_stats,
     "multimodal_binary_meta": multimodal_binary_meta,
     "crawl_frontier_bfs": crawl_frontier_bfs,
+    "crawl_frontier_bfs_preextract": crawl_frontier_bfs_preextract,
+    "crawl_frontier_bfs_budget": crawl_frontier_bfs_budget,
 }
 
 _SHINGLES = (
@@ -1250,4 +1370,109 @@ ORACLES: dict[str, str] = {
             SELECT 'https://{_BFS_HOST}/p' || id AS url, depth FROM mind
         ) ORDER BY url
     """,
+    # The budget/robots crawl: depth attribution is path-dependent
+    # under deferral (a deferred row pins its discovery depth against
+    # later shorter rediscoveries), so the oracle simulates the engine
+    # round-for-round. State rows are (round, kind∈{s,q}, id, depth);
+    # each iteration applies the robots drop (host a, id LIKE '1%'),
+    # ranks the queue per host by (depth, url-string) — DuckDB's
+    # varchar compare equals Spark's UTF8 binary compare on these
+    # ASCII URLs — takes top-budget per host as visited, carries the
+    # rest, and enqueues edge targets not seen / not eligible / not
+    # deferred, min-depth per target. Recursion stops when the queue
+    # drains (the EXISTS guard). Root ids: -1 = host a, -2 = host b.
+    "crawl_frontier_bfs_budget": f"""
+        WITH RECURSIVE
+        n AS (SELECT count(*) AS n FROM documents),
+        bud AS (SELECT greatest(3, n // 40) AS ba, greatest(4, n // 20) AS bb
+                FROM n),
+        edges AS (
+            SELECT CAST(-1 AS BIGINT) AS src, CAST(0 AS BIGINT) AS dst
+            UNION ALL SELECT -2, 1
+            UNION ALL SELECT doc_id, (doc_id*7+1) % n.n FROM documents, n
+            UNION ALL SELECT doc_id, (doc_id*3+2) % n.n FROM documents, n
+            UNION ALL SELECT doc_id, (doc_id*5+3) % n.n FROM documents, n
+        ),
+        st(rnd, kind, id, depth) AS (
+            SELECT 0, 'q', CAST(-1 AS BIGINT), 0
+            UNION ALL
+            SELECT 0, 'q', CAST(-2 AS BIGINT), 0
+            UNION ALL
+            (
+            WITH prev AS (SELECT * FROM st),
+            hosted AS (
+                SELECT rnd, kind, id, depth,
+                       CASE WHEN id = -2 THEN 'b' WHEN id = -1 THEN 'a'
+                            WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS h,
+                       CASE WHEN id < 0
+                            THEN 'https://' ||
+                                 (CASE WHEN id = -1 THEN 'a' ELSE 'b' END) ||
+                                 '.docs.example'
+                            ELSE 'https://' ||
+                                 (CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END) ||
+                                 '.docs.example/p' || id
+                       END AS u
+                FROM prev
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY h ORDER BY depth, u)
+                           AS rk
+                FROM hosted WHERE kind = 'q'
+                  AND NOT (h = 'a' AND id >= 0
+                           AND CAST(id AS VARCHAR) LIKE '1%')
+            ),
+            elig AS (
+                SELECT r.* FROM ranked r, bud
+                WHERE r.rk <= (CASE WHEN r.h = 'a' THEN bud.ba
+                                    ELSE bud.bb END)
+            ),
+            defer AS (
+                SELECT r.* FROM ranked r, bud
+                WHERE r.rk > (CASE WHEN r.h = 'a' THEN bud.ba
+                                   ELSE bud.bb END)
+            ),
+            cand AS (
+                SELECT dst AS id, min(e.depth + 1) AS depth
+                FROM elig e JOIN edges ON edges.src = e.id
+                WHERE e.depth + 1 <= {_BFS_BUDGET_DEPTH}
+                  AND NOT ((CASE WHEN dst % 2 = 0 THEN 'a' ELSE 'b' END) = 'a'
+                           AND CAST(dst AS VARCHAR) LIKE '1%')
+                  AND dst NOT IN (SELECT id FROM prev WHERE kind = 's')
+                  AND dst NOT IN (SELECT id FROM elig)
+                  AND dst NOT IN (SELECT id FROM defer)
+                GROUP BY dst
+            )
+            SELECT x.rnd, x.kind, x.id, x.depth FROM (
+                SELECT p.rnd + 1 AS rnd, 's' AS kind, p.id, p.depth
+                FROM prev p WHERE p.kind = 's'
+                UNION ALL
+                SELECT e.rnd + 1, 's', e.id, e.depth FROM elig e
+                UNION ALL
+                SELECT d.rnd + 1, 'q', d.id, d.depth FROM defer d
+                UNION ALL
+                SELECT cur.rnd + 1, 'q', c.id, c.depth
+                FROM cand c, (SELECT max(rnd) AS rnd FROM prev) cur
+            ) x
+            WHERE EXISTS (SELECT 1 FROM prev WHERE kind = 'q')
+            )
+        )
+        SELECT
+            CASE WHEN id < 0
+                 THEN 'https://' ||
+                      (CASE WHEN id = -1 THEN 'a' ELSE 'b' END) ||
+                      '.docs.example'
+                 ELSE 'https://' ||
+                      (CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END) ||
+                      '.docs.example/p' || id
+            END AS url,
+            CAST(depth AS INT) AS depth
+        FROM st
+        WHERE kind = 's' AND rnd = (SELECT max(rnd) FROM st)
+        ORDER BY url
+    """,
 }
+
+# the pre-extract crawl runs under the SAME oracle as the classic
+# mode — identical link graph, identical reachability/depth semantics
+ORACLES["crawl_frontier_bfs_preextract"] = ORACLES["crawl_frontier_bfs"]

@@ -49,6 +49,21 @@ def test_scan_endpoint(server):
     assert any(e["email"] == "info@example.com" for e in rep["emails"])
 
 
+def test_scan_endpoint_pre_extract(server):
+    """pre_extract: true requests the replay-scale plan over the REST
+    wrapper (r4 verdict item #8) — same report as the classic mode."""
+    classic = _post(server, "/api/scan/", {"domain": "example.com", "depth": 2})
+    pre = _post(
+        server,
+        "/api/scan/",
+        {"domain": "example.com", "depth": 2, "pre_extract": True},
+    )
+    assert pre[0] == 200
+    assert pre[1]["summary"] == classic[1]["summary"]
+    assert pre[1]["emails"] == classic[1]["emails"]
+    assert pre[1]["subdomains"] == classic[1]["subdomains"]
+
+
 def test_error_paths(server):
     assert _post(server, "/api/scan/", {"domain": "___"})[0] == 400
     assert _post(server, "/api/scan/", {})[0] == 400
