@@ -237,6 +237,14 @@ class CheckpointStore:
         self._pending[table] = [tag]
         return True
 
+    def table_rows(self, table: str) -> Optional[int]:
+        """Committed row count from parquet footers — no Spark job.
+        None if the table has no committed versions."""
+        versions = self._committed_versions(table)
+        if not versions:
+            return None
+        return sum(parquet_rows(self._dir(table, v)) for v in versions)
+
     def gc(self) -> int:
         """Delete version dirs no committed manifest references.
 

@@ -387,10 +387,16 @@ def run_crawl(
             # eligible stats), so the persisted pre table is scanned,
             # never shuffled, each round — the seen-join property again.
             drop_obs = Observation()
+            # "nl" rides along for free: the total links emitted this
+            # round upper-bounds the enqueue-time candidate set, so the
+            # broadcast guard inside the frontier build can skip its
+            # dedicated count job whenever the bound is under the
+            # threshold (r4 verdict item #2: per-round fixed cost).
             joined = keyed_input.join(pre, "_fk").observe(
                 drop_obs,
                 F.coalesce(F.sum("emails_dropped"), F.lit(0)).alias("ed"),
                 F.coalesce(F.sum("phones_dropped"), F.lit(0)).alias("pd"),
+                F.coalesce(F.sum(F.size("links")), F.lit(0)).alias("nl"),
             ).cache()
             round_caches.append(joined)
             link_cands = (
@@ -415,12 +421,14 @@ def run_crawl(
             )
         )
 
-        def _build_frontier_next() -> DataFrame:
+        def _build_frontier_next(candidate_bound: int | None = None) -> DataFrame:
             """Enqueue-time checks: not seen, not already queued.
 
-            Called from the staging thread pool so the broadcast-guard
-            count inside filter_new overlaps the url_seen/bloom staging
-            jobs instead of serializing into the driver plan phase.
+            ``candidate_bound``: an upper bound on the candidate rows
+            when the caller knows one (pre-extract mode observes the
+            round's total link count in-band on the contacts staging
+            job) — below the broadcast threshold the guard then costs
+            no count job at all.
             """
             candidates = seen.filter_new(
                 pre_candidates,
@@ -432,6 +440,7 @@ def run_crawl(
                 strategy=config.seen_join,
                 prune_buckets=config.prune_seen_buckets,
                 max_broadcast_rows=config.seen_broadcast_max_rows,
+                candidate_bound=candidate_bound,
             )
             if config.host_budget is None and host_budgets is None:
                 # no deferrals possible — skip the anti-join and union
@@ -487,14 +496,25 @@ def run_crawl(
             n_contacts = store.stage_append("contacts", round_contacts, round_no)
             tt = _tlog(f"r{round_no} stage contacts n={n_contacts}", tt)
 
-            # Build the next frontier in the MAIN thread, after contacts
-            # staging has materialized the page/extraction caches: the
-            # broadcast-guard count inside filter_new then reads warm
-            # caches. Running it concurrently with the other staging
-            # threads instead oversubscribes the pandas-UDF workers
-            # (measured: 46 s vs ~3 s for the same round).
-            frontier_df = _build_frontier_next()
-            tt = _tlog(f"r{round_no} frontier plan+guard", tt)
+            if pre is None:
+                # Classic mode: build the next frontier in the MAIN
+                # thread, after contacts staging has materialized the
+                # page/extraction caches — the broadcast-guard count
+                # inside filter_new then reads warm caches. Running it
+                # concurrently with the other staging threads instead
+                # oversubscribes the pandas-UDF workers (measured: 46 s
+                # vs ~3 s for the same round).
+                frontier_df = _build_frontier_next()
+                tt = _tlog(f"r{round_no} frontier plan+guard", tt)
+            else:
+                # Pre-extract mode: the rounds carry no extraction
+                # UDFs, so the frontier build (probe + anti-join +
+                # dedup) can run INSIDE the staging pool, overlapping
+                # the url_seen/bloom writes instead of serializing a
+                # 2-3 s job between them (r4 verdict item #2). The
+                # in-band link-count bound usually removes the guard's
+                # dedicated count job entirely.
+                cand_bound = int(drop_obs.get["nl"])
 
             from concurrent.futures import ThreadPoolExecutor
 
@@ -506,9 +526,16 @@ def run_crawl(
                     round_no,
                     "bucket" if config.seen_buckets else None,
                 )
-                f_frontier = pool.submit(
-                    store.stage_replace, "frontier", frontier_df, round_no
-                )
+                if pre is None:
+                    f_frontier = pool.submit(
+                        store.stage_replace, "frontier", frontier_df, round_no
+                    )
+                else:
+                    f_frontier = pool.submit(
+                        lambda: store.stage_replace(
+                            "frontier", _build_frontier_next(cand_bound), round_no
+                        )
+                    )
                 f_bloom = (
                     pool.submit(store.stage_replace, "bloom", bloom_next, round_no)
                     if bloom_next is not None
@@ -553,7 +580,9 @@ def run_crawl(
             # keep lineage bounded without a store
             n_eligible = eligible.count()
             n_contacts = round_contacts.count()
-            frontier = _build_frontier_next().localCheckpoint(eager=True)
+            frontier = _build_frontier_next(
+                int(drop_obs.get["nl"]) if pre is not None else None
+            ).localCheckpoint(eager=True)
             frontier_rows = -1
             url_seen = url_seen_next.localCheckpoint(eager=True)
             all_contacts = all_contacts.unionByName(round_contacts).localCheckpoint(
@@ -579,8 +608,14 @@ def run_crawl(
         # the persisted pre-extraction table
         pre.unpersist()
     deduped = extract.dedup_contacts(all_contacts)
+    if store is not None and store.manifest() is not None:
+        # endpoint count from the committed parquet footers — no Spark
+        # job (url_seen rows are exactly the visited endpoints)
+        n_endpoints = store.table_rows("url_seen") or 0
+    else:
+        n_endpoints = url_seen.count()
     summary = {
-        "num_endpoints": url_seen.count(),
+        "num_endpoints": n_endpoints,
         "num_subdomains": url_seen.select(
             udfs.url_host(F.col("url")).alias("h")
         )
