@@ -70,6 +70,42 @@ EMAIL_VECTORS = [
     # itself sees a syntactically valid shape — same as the reference,
     # whose email_validator also accepts ".png" as a TLD
     ("logo@2x.png", "logo@2x.png"),
+    # ---- r5 adversarial extensions (VERDICT r4 item #6) ----
+    # trailing root dot: both sides reject (email_validator refuses a
+    # trailing dot even though DNS-wise it is the canonical root)
+    ("user@example.com.", None),
+    ("user@example.co.uk.", None),
+    # case folding includes the TLD — both sides lowercase the domain
+    ("user@EXAMPLE.Com", "user@example.com"),
+    ("USER@EXAMPLE.COM", "user@example.com"),
+    # already-IDNA-encoded domains are plain ASCII — both sides accept
+    ("user@xn--mnchen-3ya.de", "user@xn--mnchen-3ya.de"),
+    # LIB-DIFF: email_validator accepts punycode TLDs (xn--p1ai = .рф);
+    # the RFC-lite TLD pattern requires an alphabetic final label and
+    # rejects the digit-bearing xn--p1ai. Unreachable from EMAIL_RE
+    # (same final-label alpha requirement), so the delta never
+    # surfaces in crawl output.
+    ("user@example.xn--p1ai", None),
+    # LIB-DIFF: the RFC-lite cleaner strips zero-width/format chars
+    # (ZWSP) before validating, so the mangled address is recovered;
+    # email_validator rejects U+200B outright (invalid atext). Crawl
+    # input hits this on copy-paste-mangled pages — the engine is
+    # deliberately *more* forgiving here.
+    ("user​@example.com", "user@example.com"),
+    (" user@example.com ", "user@example.com"),  # NBSP trim
+    # label rules both sides enforce
+    ("user@under_score.example.com", None),  # _ not valid in a label
+    ("user@.example.com", None),
+    ("user@example..com", None),
+    ("user@123.example.com", "user@123.example.com"),  # digit label ok
+    ("user@example.c0m", None),  # digit in final label
+    # forms only an address-header parser would accept — both sides
+    # reject the bare string (display names / comments / literals are
+    # upstream concerns; EMAIL_RE never yields them)
+    ("John Smith <john@example.com>", None),
+    ("user(comment)@example.com", None),
+    ("user@[192.168.1.1]", None),
+    ("mailto:user@example.com", None),  # scheme handled by X9, not here
 ]
 
 # ---------------------------------------------------------------- phones
@@ -161,6 +197,37 @@ PHONE_VECTORS = [
     # LIB-DIFF: Italian premium 89x is narrower in phonenumbers than
     # the 8\\d{7,9} services pattern here.
     ("+39 891 234 567", None, "891234567"),
+    # ---- r5 adversarial extensions (VERDICT r4 item #6) ----
+    # LIB-DIFF: phonenumbers strips an RFC3966 "tel:" scheme before
+    # parsing; here the scheme is handled one layer up (X10 tel-href
+    # parsing, functions/contacts.py) and the bare normalizer rejects
+    # the colon. Unreachable divergence: page text never carries the
+    # scheme, and tel: hrefs route through X10.
+    ("tel:+30-210-123-4567", None, None),
+    # LIB-DIFF: phonenumbers honors IDD escape sequences (GR "00",
+    # US "011") when a default region supplies them; the normalizer
+    # accepts only "+" international syntax — national-format input
+    # with an IDD prefix is rejected rather than guessed.
+    ("0030 210 1234567", "GR", None),
+    ("011 30 210 1234567", "US", None),
+    # LIB-DIFF: phonenumbers maps vanity letters (1-800-FLOWERS →
+    # 8003569377); the charset check rejects letters outright. The
+    # numeric form of the same number is accepted identically.
+    ("1-800-FLOWERS", "US", None),
+    ("+1 800 356 9377", None, "8003569377"),
+    # LIB-DIFF: phonenumbers splits ";ext=" / "ext." extensions into a
+    # separate field; rejected here like the "x45" form above.
+    ("+30 210 1234567;ext=12", None, None),
+    ("+30 210 1234567 ext. 12", None, None),
+    ("+30 210 123 4567 #99", None, None),
+    # double plus is malformed for both sides
+    ("++30 210 1234567", None, None),
+    # GR has no trunk prefix: a leading 0 on the national form is
+    # invalid for both sides (phonenumbers: invalid length/pattern)
+    ("0 210 1234567", "GR", None),
+    # calling-code boundary: +300 is not a code (3-digit codes start
+    # at +35x/+37x/+38x in the relevant ranges) — both sides reject
+    ("+300 210 1234567", None, None),
 ]
 
 
