@@ -183,11 +183,12 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
 def run_crawl(
     spark: SparkSession,
     seeds: DataFrame,
-    pages: DataFrame,
+    pages: DataFrame | None,
     config: CrawlConfig,
     robots: DataFrame | None = None,
     dead_hosts: DataFrame | None = None,
     resume: bool = False,
+    fetcher: "Callable[[DataFrame], DataFrame] | None" = None,
 ) -> CrawlResult:
     """Run (or resume) the BFS crawl; returns final state DataFrames.
 
@@ -195,7 +196,26 @@ def run_crawl(
     dead-host set (break_checker.py:566-568, 803-806): frontier rows on
     those hosts are skipped before the fetch join (broadcast anti-join)
     — in replay, fetch failures only exist if the caller supplies them.
+
+    ``fetcher`` switches the engine to LIVE mode: instead of joining
+    the frontier against a pages table, each round's eligible rows
+    (url, host, depth) are handed to the callable — normally
+    ``sources.fetcher.fetch_pages`` — which returns FETCH_SCHEMA rows.
+    Fetch failures behave exactly like replay join misses (visited but
+    yielding nothing), and refused hosts accumulate into the dead-host
+    anti-join with the reference's two-strikes rule. Live mode requires
+    the classic round structure (``pre_extract=False``): pages at
+    depth d+1 cannot be pre-extracted before round d discovers them.
+    Dead-host strike counts are per-run in-memory state, like the
+    reference's globals — a resumed run starts its counts fresh.
     """
+    if fetcher is not None and config.pre_extract:
+        raise ValueError(
+            "live fetch requires classic mode (pre_extract=False): "
+            "pages at depth d+1 don't exist until round d fetched them"
+        )
+    if fetcher is None and pages is None:
+        raise ValueError("either a pages table or a fetcher is required")
     store = CheckpointStore(config.checkpoint_dir) if config.checkpoint_dir else None
 
     seen_schema = "key_hash long, url string, depth int"
@@ -273,7 +293,13 @@ def run_crawl(
     if robots is not None and config.round_seconds is not None:
         host_budgets = politeness.crawl_delay_budgets(robots, config.round_seconds)
 
-    pages_slim = pages.select("url", "html", "text")
+    pages_slim = (
+        pages.select("url", "html", "text") if pages is not None else None
+    )
+    # live-mode dead-host feedback: per-host refused strike counts
+    # (reference _DEAD_HOST_FAILS/_DEAD_HOSTS, bc:564-568)
+    _dead_fails: dict = {}
+    _dead_set: set = set()
     pre = None
     if config.pre_extract:
         # one extraction pass, persisted for the whole run (the rounds
@@ -347,9 +373,47 @@ def run_crawl(
             )
         keyed_input = fetch_input.withColumn("_fk", _fetch_key(F.col("url")))
         if pre is None:
-            fetched = keyed_input.join(
-                pages_slim.withColumnRenamed("url", "_fk"), "_fk", "left"
-            ).select("url", "depth", "html", "text")
+            if fetcher is not None:
+                # LIVE fetch: host-partitioned distributed HTTP GET of
+                # this round's eligible rows (sources/fetcher.py).
+                # Cached — the strike-count action below materializes
+                # it once; extraction then reads the cache instead of
+                # re-hitting the network.
+                fetched_full = fetcher(
+                    fetch_input.select("url", "host", "depth")
+                ).cache()
+                round_caches.append(fetched_full)
+                for row in (
+                    fetched_full.filter(F.col("error") == "refused")
+                    .groupBy("host")
+                    .count()
+                    .collect()
+                ):
+                    _dead_fails[row["host"]] = (
+                        _dead_fails.get(row["host"], 0) + row["count"]
+                    )
+                newly_dead = sorted(
+                    h
+                    for h, n in _dead_fails.items()
+                    if n >= 2 and h not in _dead_set
+                )
+                if newly_dead:
+                    _dead_set.update(newly_dead)
+                    nd = spark.createDataFrame(
+                        [(h,) for h in newly_dead], "host string"
+                    )
+                    dead_hosts = (
+                        nd
+                        if dead_hosts is None
+                        else dead_hosts.select("host").unionByName(nd)
+                    )
+                # error rows keep html/text null — identical to replay
+                # join misses: visited, yield nothing, expand nothing
+                fetched = fetched_full.select("url", "depth", "html", "text")
+            else:
+                fetched = keyed_input.join(
+                    pages_slim.withColumnRenamed("url", "_fk"), "_fk", "left"
+                ).select("url", "depth", "html", "text")
 
         # incremental bloom: OR a delta filter over only this round's new
         # keys into the running filter — the full seen table is never

@@ -1,0 +1,339 @@
+"""Live distributed page fetch (reference S6/S8) + net-error classifier (F12).
+
+The reference fetches the live web per-URL with aiohttp + Playwright
+(`fetch_url`, /root/reference/break_checker.py:742-839): advisory HEAD,
+attachment skip, one GET to sniff when HEAD lies, text/* assets
+returned directly (the `http_fallback` path, bc:544-561), HTML always
+rendered; network failures are summarized by `_classify_net_error`
+(bc:571-604) and two refused GETs mark a host dead (bc:803-806).
+
+Spark-first re-expression: the frontier is a DataFrame, so the fetch
+is `mapInPandas` over **host-partitioned** Arrow batches — each
+executor task owns whole hosts, serializes its requests per host with
+a politeness delay, and streams (url, status, content_type, error,
+html, text) rows back. Parallelism comes from partitions (hosts spread
+across the cluster), never from hammering one host concurrently.
+
+Policy parity and documented deviations:
+
+* HEAD → sniff-GET → skip ladder, attachment/binary/path skips, and
+  text-asset fallback are the reference's (see `_fetch_one`).
+* Rendering (S7) needs a browser; this sandbox has none, so the HTML
+  branch returns the GET body instead of a Playwright render — the
+  replay pipeline's extraction consumes (html, text) identically.
+* The error classifier maps the stdlib exception tree (urllib/socket/
+  ssl) onto the reference's exact label set
+  {refused, dns, tls, timeout, connect, reset, unreachable, other}.
+* Dead-host feedback is an aggregation, not a global set:
+  `dead_hosts_from_errors` turns the fetch output into a (host) table
+  once a host accumulates >= 2 refused results, and `run_crawl`
+  carries it across rounds (plans/crawl.py live mode).
+
+Tested against a real local http.server (tests/test_fetcher.py),
+including an end-to-end live crawl == replay crawl equality check.
+"""
+
+from __future__ import annotations
+
+import datetime
+import errno
+import socket
+import ssl
+import time
+import urllib.error
+import urllib.request
+from typing import Callable, Iterator, Optional
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..functions import htmlx, urlnorm
+
+USER_AGENT = "breakchecker-spark/1.0"
+
+FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("depth", T.IntegerType(), True),
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        # None = page fetched; otherwise why not: a net-error class
+        # (refused/dns/tls/timeout/connect/reset/unreachable/other) or
+        # a policy skip (skipped_path/attachment/binary/http_status)
+        T.StructField("error", T.StringType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("fetched_at", T.TimestampType(), True),
+    ]
+)
+
+
+def classify_net_error(exc: BaseException) -> str:
+    """Map a network exception to the reference's compact label set.
+
+    Same buckets as `_classify_net_error` (break_checker.py:571-604),
+    retargeted from aiohttp/asyncio onto the stdlib urllib/socket/ssl
+    exception tree (the only HTTP client in this environment).
+    """
+    # urllib wraps the transport error; classify the cause
+    if isinstance(exc, urllib.error.URLError) and isinstance(
+        exc.reason, BaseException
+    ):
+        return classify_net_error(exc.reason)
+    if isinstance(exc, socket.gaierror):
+        return "dns"
+    if isinstance(exc, ssl.SSLError):
+        return "tls"
+    # socket.timeout is TimeoutError in 3.10+; check before OSError
+    if isinstance(exc, TimeoutError):
+        return "timeout"
+    if isinstance(exc, OSError):
+        eno = exc.errno
+        if isinstance(exc, ConnectionRefusedError) or eno == errno.ECONNREFUSED:
+            return "refused"
+        if eno in (errno.ENETUNREACH, errno.EHOSTUNREACH):
+            return "unreachable"
+        if isinstance(exc, ConnectionResetError) or eno == errno.ECONNRESET:
+            return "reset"
+        return "connect"
+    msg = str(exc)
+    if "ECONNREFUSED" in msg or "ERR_CONNECTION_REFUSED" in msg:
+        return "refused"
+    if "ERR_NAME_NOT_RESOLVED" in msg:
+        return "dns"
+    if "timed out" in msg or "ERR_TIMED_OUT" in msg:
+        return "timeout"
+    return "other"
+
+
+def _decode(body: bytes, headers) -> str:
+    charset = None
+    if headers is not None:
+        charset = headers.get_content_charset()
+    return body.decode(charset or "utf-8", errors="replace")
+
+
+def _fetch_one(
+    url: str,
+    request_url: str,
+    opener: urllib.request.OpenerDirector,
+    timeout: float,
+) -> dict:
+    """The reference's fetch policy for one URL (break_checker.py:742-839).
+
+    0) cheap path/extension skip; 1) advisory HEAD (failures logged,
+    not fatal); attachment Content-Disposition skip; 2) GET sniff when
+    HEAD is missing/bad/untyped, status >= 400 skips; 3) textual
+    non-HTML assets returned as-is (the bc:544-561 fallback); binary
+    skipped; 4) HTML: body returned (render deviation documented in
+    the module docstring).
+    """
+    out = {
+        "status": None,
+        "content_type": None,
+        "error": None,
+        "html": None,
+        "text": None,
+    }
+    if urlnorm.skip_by_path(url):
+        out["error"] = "skipped_path"
+        return out
+
+    head_status = None
+    content_type = ""
+    content_disp = ""
+    try:
+        req = urllib.request.Request(
+            request_url, method="HEAD", headers={"User-Agent": USER_AGENT}
+        )
+        with opener.open(req, timeout=timeout) as resp:
+            head_status = resp.status
+            content_type = (resp.headers.get("Content-Type") or "").strip()
+            content_disp = (
+                resp.headers.get("Content-Disposition") or ""
+            ).strip()
+    except urllib.error.HTTPError as he:
+        head_status = he.code
+        content_type = (he.headers.get("Content-Type") or "").strip()
+        content_disp = (he.headers.get("Content-Disposition") or "").strip()
+    except Exception:
+        pass  # advisory only (bc:778-780)
+
+    if content_disp and urlnorm.is_attachment(content_disp):
+        out["status"] = head_status
+        out["error"] = "attachment"
+        return out
+
+    sniff_body: Optional[bytes] = None
+    sniff_headers = None
+    if head_status is None or head_status >= 400 or not content_type:
+        try:
+            req = urllib.request.Request(
+                request_url, headers={"User-Agent": USER_AGENT}
+            )
+            with opener.open(req, timeout=timeout) as resp:
+                out["status"] = resp.status
+                ct = (resp.headers.get("Content-Type") or "").strip()
+                if ct:
+                    content_type = ct
+                sniff_body = resp.read()
+                sniff_headers = resp.headers
+        except urllib.error.HTTPError as he:
+            out["status"] = he.code
+            out["error"] = "http_status"
+            return out
+        except Exception as exc:  # noqa: BLE001 — classify, don't crash the task
+            out["error"] = classify_net_error(exc)
+            return out
+    else:
+        out["status"] = head_status
+    out["content_type"] = content_type or None
+
+    if content_type and not urlnorm.is_probably_html(content_type):
+        ct_l = content_type.lower()
+        if ct_l.startswith("text/") or ct_l.startswith("application/javascript"):
+            if sniff_body is None:
+                try:
+                    req = urllib.request.Request(
+                        request_url, headers={"User-Agent": USER_AGENT}
+                    )
+                    with opener.open(req, timeout=timeout) as resp:
+                        if resp.status >= 400:
+                            out["status"] = resp.status
+                            out["error"] = "http_status"
+                            return out
+                        out["status"] = resp.status
+                        sniff_body = resp.read()
+                        sniff_headers = resp.headers
+                except urllib.error.HTTPError as he:
+                    out["status"] = he.code
+                    out["error"] = "http_status"
+                    return out
+                except Exception as exc:  # noqa: BLE001
+                    out["error"] = classify_net_error(exc)
+                    return out
+            body_text = _decode(sniff_body, sniff_headers)
+            out["html"] = sniff_body
+            out["text"] = body_text
+            return out
+        out["error"] = "binary"
+        return out
+
+    # HTML (or unknown that smells like it): the reference renders; we
+    # return the body (no browser in this environment — see module doc)
+    if sniff_body is None:
+        try:
+            req = urllib.request.Request(
+                request_url, headers={"User-Agent": USER_AGENT}
+            )
+            with opener.open(req, timeout=timeout) as resp:
+                if resp.status >= 400:
+                    out["status"] = resp.status
+                    out["error"] = "http_status"
+                    return out
+                out["status"] = resp.status
+                sniff_body = resp.read()
+                sniff_headers = resp.headers
+        except urllib.error.HTTPError as he:
+            out["status"] = he.code
+            out["error"] = "http_status"
+            return out
+        except Exception as exc:  # noqa: BLE001
+            out["error"] = classify_net_error(exc)
+            return out
+    html_doc = _decode(sniff_body, sniff_headers)
+    out["html"] = sniff_body
+    out["text"] = htmlx.page_text(html_doc)
+    return out
+
+
+def fetch_pages(
+    frontier: DataFrame,
+    *,
+    timeout: float = 20.0,
+    delay: float = 0.0,
+    partitions: Optional[int] = None,
+    transform_url: Optional[Callable[[str], str]] = None,
+) -> DataFrame:
+    """Distributed fetch of a frontier: (url[, host, depth]) → FETCH_SCHEMA.
+
+    Host-partitioned `mapInPandas`: every row of a host lands in one
+    task, which issues its requests serially with >= ``delay`` seconds
+    between same-host hits (the reference's per-request politeness,
+    REQUEST_DELAY bc:90) while different hosts fetch in parallel across
+    partitions. The Arrow batch size bounds rows in flight per task;
+    results stream back incrementally.
+
+    ``transform_url`` maps the public URL to the URL actually requested
+    (proxy/mirror routing; tests route example.com into a local
+    http.server). Classification and output keep the PUBLIC url.
+    """
+    cols = frontier.columns
+    df = frontier
+    if "host" not in cols:
+        df = df.withColumn(
+            "host", F.coalesce(F.parse_url("url", F.lit("HOST")), F.lit(""))
+        )
+    if "depth" not in cols:
+        df = df.withColumn("depth", F.lit(None).cast("int"))
+    df = df.select("url", "host", "depth")
+    if partitions:
+        df = df.repartition(partitions, "host")
+    else:
+        df = df.repartition("host")
+
+    def _fetch_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        opener = urllib.request.build_opener()
+        last_hit: dict[str, float] = {}
+        for pdf in batches:
+            rows = []
+            # serialize per host; hosts arrive grouped by the partitioner
+            pdf = pdf.sort_values(["host", "url"], kind="stable")
+            for url, host, depth in zip(pdf["url"], pdf["host"], pdf["depth"]):
+                if delay > 0 and host in last_hit:
+                    wait = delay - (time.monotonic() - last_hit[host])
+                    if wait > 0:
+                        time.sleep(wait)
+                request_url = transform_url(url) if transform_url else url
+                r = _fetch_one(url, request_url, opener, timeout)
+                if delay > 0:
+                    last_hit[host] = time.monotonic()
+                r.update(
+                    {
+                        "url": url,
+                        "host": host,
+                        "depth": None if pd.isna(depth) else int(depth),
+                        "fetched_at": datetime.datetime.now(
+                            datetime.timezone.utc
+                        ).replace(tzinfo=None),
+                    }
+                )
+                rows.append(r)
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in FETCH_SCHEMA.fields],
+            )
+
+    return df.mapInPandas(_fetch_batches, FETCH_SCHEMA)
+
+
+def dead_hosts_from_errors(
+    fetched: DataFrame, threshold: int = 2
+) -> DataFrame:
+    """Hosts with >= ``threshold`` refused fetches → (host) table.
+
+    The reference's dead-host marking (_DEAD_HOST_FAILS, two refused
+    GETs → _DEAD_HOSTS, break_checker.py:564-568 + 803-806) as an
+    aggregation over the fetch output instead of mutable global state —
+    the crawl loop unions this into its dead-host anti-join for the
+    following rounds.
+    """
+    return (
+        fetched.filter(F.col("error") == "refused")
+        .groupBy("host")
+        .agg(F.count("*").alias("n_refused"))
+        .filter(F.col("n_refused") >= threshold)
+        .select("host")
+    )
