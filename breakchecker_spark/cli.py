@@ -26,7 +26,24 @@ def build_parser() -> argparse.ArgumentParser:
         "explicit flags win",
     )
     p.add_argument("--domain", required=True, help="scan-scope apex domain")
-    p.add_argument("--pages", required=True, help="parquet/iceberg pages table path")
+    p.add_argument("--pages", help="parquet/iceberg pages table path (replay mode)")
+    p.add_argument(
+        "--live",
+        action="store_true",
+        help="fetch the live web instead of replaying a pages table: "
+        "seeds are probed for reachability (https preferred, like the "
+        "reference's choose_scheme) and each round's frontier is "
+        "fetched with the distributed HTTP fetcher (sources/fetcher.py)",
+    )
+    p.add_argument(
+        "--timeout", type=float, default=20.0, help="live fetch timeout (s)"
+    )
+    p.add_argument(
+        "--request-delay",
+        type=float,
+        default=0.0,
+        help="live mode: minimum seconds between same-host requests",
+    )
     p.add_argument("--seeds", help="parquet seeds table (host[,scheme]); default: apex only")
     p.add_argument("--robots", help="parquet robots table (host, disallow_prefix, crawl_delay)")
     p.add_argument("--breach-db", help="parquet breach table (identifier, breach)")
@@ -70,6 +87,12 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
     from .sources import seeds as seeds_mod
 
+    if bool(args.pages) == bool(args.live):
+        parser.error("exactly one of --pages (replay) or --live is required")
+    if args.live and args.pre_extract:
+        parser.error("--pre-extract is a replay-mode plan (pages at depth "
+                     "d+1 don't exist until round d fetched them)")
+
     domain = seeds_mod.validate_domain(args.domain)
     spark = get_spark(app_name=f"breakchecker:{domain}", master=args.master)
 
@@ -80,18 +103,34 @@ def main(argv: list[str] | None = None) -> int:
     start_time = time_mod.time()
     start_dt = datetime.datetime.now(datetime.timezone.utc)
 
-    pages = spark.read.parquet(args.pages)
-    if args.seeds:
-        raw_seeds = spark.read.parquet(args.seeds)
-        if "scheme" not in raw_seeds.columns:
-            raw_seeds = seeds_mod.live_hosts(
-                seeds_mod.union_seed_sources(spark, [raw_seeds], domain), pages
-            )
+    from .sources import fetcher as fetcher_mod
+
+    pages = spark.read.parquet(args.pages) if args.pages else None
+    seed_sources = (
+        [spark.read.parquet(args.seeds)] if args.seeds else []
+    )
+    if seed_sources and "scheme" in seed_sources[0].columns:
+        raw_seeds = seed_sources[0]
+    elif args.live:
+        # reference choose_scheme: probe https-then-http on the wire
+        raw_seeds = fetcher_mod.probe_live_hosts(
+            seeds_mod.union_seed_sources(spark, seed_sources, domain),
+            timeout=args.timeout,
+        )
     else:
         raw_seeds = seeds_mod.live_hosts(
-            seeds_mod.union_seed_sources(spark, [], domain), pages
+            seeds_mod.union_seed_sources(spark, seed_sources, domain), pages
         )
     robots = spark.read.parquet(args.robots) if args.robots else None
+    live_fetcher = (
+        (
+            lambda df: fetcher_mod.fetch_pages(
+                df, timeout=args.timeout, delay=args.request_delay
+            )
+        )
+        if args.live
+        else None
+    )
 
     cfg = CrawlConfig(
         scope_host=domain,
@@ -101,7 +140,15 @@ def main(argv: list[str] | None = None) -> int:
         pre_extract=args.pre_extract,
         checkpoint_dir=args.checkpoint,
     )
-    result = run_crawl(spark, raw_seeds, pages, cfg, robots=robots, resume=args.resume)
+    result = run_crawl(
+        spark,
+        raw_seeds,
+        pages,
+        cfg,
+        robots=robots,
+        resume=args.resume,
+        fetcher=live_fetcher,
+    )
 
     contacts = result.contacts
     if args.breach_db:

@@ -319,6 +319,47 @@ def fetch_pages(
     return df.mapInPandas(_fetch_batches, FETCH_SCHEMA)
 
 
+def probe_live_hosts(
+    hosts: DataFrame,
+    *,
+    timeout: float = 10.0,
+    transform_url: Optional[Callable[[str], str]] = None,
+) -> DataFrame:
+    """Live F11: (host) → (host, scheme) for reachable hosts, https first.
+
+    The reference's `choose_scheme` + `filter_accessible_subdomains`
+    (break_checker.py:348-405): probe ``https://host``, fall back to
+    ``http://host``, live iff a response arrives with status < 400;
+    unreachable hosts drop out. Distributed as two slim root-fetch
+    passes over the host list (the http pass only probes hosts https
+    missed) instead of a driver-side async pool — the host list is a
+    DataFrame and each probe partition owns whole hosts, like the
+    crawl fetch. (The reference retries each scheme with backoff for
+    flaky remote hosts; a Spark task retry covers the same transient
+    class here.)
+    """
+
+    def _probe(scheme: str, hs: DataFrame) -> DataFrame:
+        roots = hs.select(
+            F.concat(F.lit(scheme + "://"), F.col("host")).alias("url")
+        )
+        fetched = fetch_pages(
+            roots, timeout=timeout, transform_url=transform_url
+        )
+        return (
+            fetched.filter(
+                F.col("status").isNotNull() & (F.col("status") < 400)
+            )
+            .select("host")
+            .withColumn("scheme", F.lit(scheme))
+        )
+
+    hosts = hosts.select("host").distinct()
+    https_live = _probe("https", hosts)
+    rest = hosts.join(https_live.select("host"), "host", "left_anti")
+    return https_live.unionByName(_probe("http", rest))
+
+
 def dead_hosts_from_errors(
     fetched: DataFrame, threshold: int = 2
 ) -> DataFrame:

@@ -340,6 +340,57 @@ def test_live_crawl_dead_host_two_strikes(spark, web):
     assert not any((u or "").endswith("/z") for _, u in srv.requests)
 
 
+def test_cli_live_mode(spark, web, tmp_path, monkeypatch):
+    """`--live`: scheme probe (https→http fallback) + live crawl + report.
+
+    blog.example.com serves only http (its https probe 404s), so the
+    reference's choose_scheme fallback is exercised on the wire; the
+    routing into the local server is injected by monkeypatching the
+    fetcher module's fetch_pages (probe_live_hosts resolves it at call
+    time), which is exactly the proxy seam a production mirror uses.
+    """
+    import json
+
+    from breakchecker_spark import cli
+    from breakchecker_spark.sources import fetcher as fmod
+
+    srv, port, dead_port = web
+    srv.site["http://blog.example.com/"] = (
+        b'<html><body><a href="/post1">p1</a></body></html>',
+        "text/html; charset=utf-8",
+        {},
+        200,
+    )
+    route = _router(port, dead_port)
+    real_fetch = fmod.fetch_pages
+
+    def routed_fetch(df, **kw):
+        kw.pop("transform_url", None)
+        return real_fetch(df, transform_url=route, **kw)
+
+    monkeypatch.setattr(fmod, "fetch_pages", routed_fetch)
+
+    seeds_path = str(tmp_path / "seeds")
+    spark.createDataFrame(
+        [("example.com",), ("blog.example.com",), ("gone.example.com",)],
+        "host string",
+    ).write.parquet(seeds_path)
+    out = str(tmp_path / "report.json")
+    rc = cli.main(
+        ["--domain", "example.com", "--live", "--seeds", seeds_path,
+         "--depth", "2", "--output", out]
+    )
+    assert rc == 0
+    rep = json.load(open(out))
+    emails = {e["email"] for e in rep["emails"]}
+    assert "info@example.com" in emails
+    # the http-only host was crawled via the fallback scheme
+    sources = {e["source"] for e in rep["emails"]}
+    assert any(u.startswith("http://blog.example.com") for u in sources)
+    # the doubly-unreachable seed was dropped by the probe
+    assert "gone.example.com" not in rep["subdomains"]
+
+
 def test_live_mode_rejects_pre_extract(spark):
     seeds_df = spark.createDataFrame(
         [("a.example.com", "https")], schema=schemas.SEEDS
