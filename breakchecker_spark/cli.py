@@ -44,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=0.0,
         help="live mode: minimum seconds between same-host requests",
     )
+    p.add_argument(
+        "--render",
+        action="store_true",
+        help="live mode: escalate script-heavy thin pages to a headless-"
+        "browser render pass (S7, sources/render.py); requires the "
+        "playwright package on the executors",
+    )
     p.add_argument("--seeds", help="parquet seeds table (host[,scheme]); default: apex only")
     p.add_argument("--robots", help="parquet robots table (host, disallow_prefix, crawl_delay)")
     p.add_argument("--breach-db", help="parquet breach table (identifier, breach)")
@@ -92,6 +99,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.live and args.pre_extract:
         parser.error("--pre-extract is a replay-mode plan (pages at depth "
                      "d+1 don't exist until round d fetched them)")
+    if args.render and not args.live:
+        parser.error("--render escalates live fetches to a browser; replay "
+                     "tables already hold the rendered html")
 
     domain = seeds_mod.validate_domain(args.domain)
     spark = get_spark(app_name=f"breakchecker:{domain}", master=args.master)
@@ -122,15 +132,24 @@ def main(argv: list[str] | None = None) -> int:
             seeds_mod.union_seed_sources(spark, seed_sources, domain), pages
         )
     robots = spark.read.parquet(args.robots) if args.robots else None
-    live_fetcher = (
-        (
-            lambda df: fetcher_mod.fetch_pages(
+    live_fetcher = None
+    if args.live:
+        if args.render:
+            from .sources import render as render_mod
+
+            # raises NotImplementedError with a clear message when
+            # playwright is absent on this machine
+            live_fetcher = render_mod.rendering_fetcher(
+                render_mod.playwright_renderer_factory(),
+                fetch_kwargs={
+                    "timeout": args.timeout,
+                    "delay": args.request_delay,
+                },
+            )
+        else:
+            live_fetcher = lambda df: fetcher_mod.fetch_pages(  # noqa: E731
                 df, timeout=args.timeout, delay=args.request_delay
             )
-        )
-        if args.live
-        else None
-    )
 
     cfg = CrawlConfig(
         scope_host=domain,

@@ -453,3 +453,112 @@ def simhash_near_pairs(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ------------------------------------------------ duplicate clusters
+
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs → clusters.
+
+    The step a training pipeline runs AFTER pair generation: near-dup
+    pairs (minhash-LSH / simhash / embedding banding) form an
+    undirected graph whose components are the duplicate clusters; one
+    representative per cluster survives (``keep_canonical``).
+
+    Algorithm: hash-to-min label propagation — every node starts
+    labeled with its own id, and each round takes the min label over
+    itself and its neighbors (one shuffle per round: edge⋈label join +
+    groupBy-min). Monotone and exact; converges in O(cluster diameter)
+    rounds, and near-dup clusters are dense, tiny-diameter graphs
+    (LSH buckets emit cliques), so 2-4 rounds is typical regardless of
+    corpus size. For adversarially chain-shaped graphs the
+    large-star/small-star doubling variant (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") drops this to O(log^2 n)
+    rounds at the cost of a second shuffle per round — not worth it
+    for dedup-shaped inputs. Lineage is truncated per round with
+    localCheckpoint so the plan stays O(1) deep across iterations.
+
+    Returns (id, component, component_size): ``component`` = min doc
+    id in the cluster (the canonical survivor), one row per id that
+    appears in any pair.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"),
+        F.col(id_b).cast("long").alias("dst"),
+    )
+    sym = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()  # reused every round; never recompute pairs
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("comp").alias("ncomp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("ncomp").alias("nmin"))
+            .withColumnRenamed("src", "id")
+        )
+        new = (
+            labels.withColumnRenamed("comp", "comp_old")
+            .join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp_old"),
+                    F.coalesce(F.col("nmin"), F.col("comp_old")),
+                ).alias("comp"),
+                F.col("comp_old"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("comp") != F.col("comp_old")).count()
+        labels = new.drop("comp_old")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("comp").agg(
+        F.count("*").alias("component_size")
+    )
+    return labels.join(sizes, "comp").select(
+        "id",
+        F.col("comp").alias("component"),
+        "component_size",
+    )
+
+
+def keep_canonical(
+    docs: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every clustered doc except its component representative.
+
+    ``components`` is ``neardup_components`` output; docs never seen in
+    a pair are singletons and survive untouched — only rows whose id
+    appears with ``id != component`` are removed (anti-join on the
+    slim loser list, broadcast-friendly: losers ≈ duplicates, a small
+    fraction of the corpus).
+    """
+    losers = components.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

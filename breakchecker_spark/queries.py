@@ -479,6 +479,31 @@ def minhash_lsh_band_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def neardup_component_clusters(spark, sf_dir):
+    """Duplicate clusters: the REAL iterative hash-to-min label
+    propagation (one edge⋈label shuffle per round, localCheckpoint
+    lineage truncation, driver convergence check) over the banded-LSH
+    candidate pairs. The oracle recomputes the same clusters as a
+    transitive closure with a ``WITH RECURSIVE`` reachability CTE —
+    wrong convergence, a missed symmetric edge, or a wrong component
+    size fails the hash."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=4, bands=2, k=3
+    )
+    return (
+        dedup.neardup_components(pairs)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.col("component").cast("long").alias("component"),
+            F.col("component_size").cast("long").alias("component_size"),
+        )
+        .orderBy("id")
+    )
+
+
 def seen_filter_new(spark, sf_dir):
     """The engine's actual URL-seen membership plan (bloom cogroup →
     bucketed broadcast semi-confirm → broadcast anti) run over real
@@ -597,6 +622,61 @@ def multimodal_binary_meta(spark, sf_dir):
         "doc_id",
         F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
         F.sha2(F.col("text"), 256).alias("sha_hex"),
+    ).orderBy("doc_id")
+
+
+def render_fallback_pass(spark, sf_dir):
+    """REAL S7 render plumbing under the oracle gate: a pages table is
+    synthesized from documents — even doc_ids get an SPA-shaped page
+    whose extra content exists only inside a
+    ``<script>document.write(...)</script>`` block and whose served
+    visible text is below the reference's min_text_len=80 readiness
+    threshold (break_checker.py:469), odd doc_ids a fully-served
+    static page — then the genuine ``render_pages`` operator runs:
+    Catalyst ``needs_render`` gate → host-partitioned mapInPandas with
+    the deterministic fake browser → ``page_text`` re-derivation. The
+    oracle recomputes gate outcome, post-render DOM length, and
+    visible text arithmetically; a wrong gate, a missed script block,
+    a broken pass-through, or a wrong text re-derivation fails the
+    hash."""
+    from .sources import render as render_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    body = F.concat(F.lit("doc-"), did, F.lit(" "), F.substring("text", 1, 40))
+    is_spa = F.col("doc_id") % 2 == 0
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        body,
+        F.lit("</p>"),
+        F.when(
+            is_spa,
+            F.concat(
+                F.lit('<script>document.write("hydrated-'),
+                did,
+                F.lit('")</script>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://r"), (F.col("doc_id") % 8).cast("string"),
+                 F.lit(".example.org/d/"), did).alias("url"),
+        F.concat(F.lit("r"), (F.col("doc_id") % 8).cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        F.encode(html, "UTF-8").alias("html"),
+        # SPA pages serve only the pre-hydration text; static serve all
+        F.when(is_spa, body).otherwise(F.col("text")).alias("text"),
+    )
+    out = render_mod.render_pages(
+        pages, render_mod.fake_js_renderer_factory()
+    )
+    return out.select(
+        "doc_id",
+        F.col("rendered").cast("int").alias("rendered"),
+        F.length("html").cast("long").alias("html_len"),
+        "text",
     ).orderBy("doc_id")
 
 
@@ -816,6 +896,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seen_filter_new_cuckoo": seen_filter_new_cuckoo,
     "multimodal_decoded_stats": multimodal_decoded_stats,
     "multimodal_binary_meta": multimodal_binary_meta,
+    "render_fallback_pass": render_fallback_pass,
+    "neardup_component_clusters": neardup_component_clusters,
     "crawl_frontier_bfs": crawl_frontier_bfs,
     "crawl_frontier_bfs_preextract": crawl_frontier_bfs_preextract,
     "crawl_frontier_bfs_budget": crawl_frontier_bfs_budget,
@@ -1476,3 +1558,70 @@ ORACLES: dict[str, str] = {
 # the pre-extract crawl runs under the SAME oracle as the classic
 # mode — identical link graph, identical reachability/depth semantics
 ORACLES["crawl_frontier_bfs_preextract"] = ORACLES["crawl_frontier_bfs"]
+
+# S7 render plumbing: the oracle recomputes the needs_render gate, the
+# document.write DOM rewrite, and the page_text re-derivation as pure
+# string arithmetic over the same synthesized pages
+ORACLES["render_fallback_pass"] = """
+    WITH pages AS (
+        SELECT doc_id,
+               'doc-' || doc_id || ' ' || substr(text, 1, 40) AS body,
+               (doc_id % 2 = 0) AS is_spa,
+               text AS orig_text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(is_spa AS INT) AS rendered,
+           CAST(octet_length(encode(
+               '<html><body><p>' || body || '</p>'
+               || CASE WHEN is_spa
+                       THEN '<div>hydrated-' || doc_id || '</div>'
+                       ELSE '' END
+               || '</body></html>')) AS BIGINT) AS html_len,
+           CASE WHEN is_spa
+                THEN body || ' hydrated-' || doc_id
+                ELSE orig_text END AS text
+    FROM pages
+    ORDER BY doc_id
+"""
+
+# duplicate clusters: the iterative label-propagation components vs a
+# transitive-closure reachability CTE over the identical LSH pairs
+ORACLES["neardup_component_clusters"] = """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(tk)-2,1)+1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents)
+    ),
+    sig AS (
+        SELECT doc_id,
+               min(CAST(('0x' || substr(md5('0:' || s), 1, 8)) AS BIGINT)) AS mh0,
+               min(CAST(('0x' || substr(md5('1:' || s), 1, 8)) AS BIGINT)) AS mh1,
+               min(CAST(('0x' || substr(md5('2:' || s), 1, 8)) AS BIGINT)) AS mh2,
+               min(CAST(('0x' || substr(md5('3:' || s), 1, 8)) AS BIGINT)) AS mh3
+        FROM sh GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, 0 AS band,
+               CAST(mh0 AS VARCHAR) || ',' || CAST(mh1 AS VARCHAR) AS bucket
+        FROM sig
+        UNION ALL
+        SELECT doc_id, 1,
+               CAST(mh2 AS VARCHAR) || ',' || CAST(mh3 AS VARCHAR)
+        FROM sig),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM cand
+        UNION
+        SELECT id_b, id_a FROM cand),
+    reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(min(r) AS BIGINT) AS component,
+           CAST(count(DISTINCT r) AS BIGINT) AS component_size
+    FROM reach GROUP BY id ORDER BY id
+"""

@@ -21,6 +21,9 @@ Policy parity and documented deviations:
 * Rendering (S7) needs a browser; this sandbox has none, so the HTML
   branch returns the GET body instead of a Playwright render — the
   replay pipeline's extraction consumes (html, text) identically.
+  The distributed render escalation itself lives in sources/render.py
+  (`rendering_fetcher` composes it over this fetch; the browser call
+  is a clearly-marked stub, the plumbing is real and tested).
 * The error classifier maps the stdlib exception tree (urllib/socket/
   ssl) onto the reference's exact label set
   {refused, dns, tls, timeout, connect, reset, unreachable, other}.
