@@ -52,6 +52,8 @@ HEADLINE = [
     "seen_filter_new",
     "seen_filter_new_cuckoo",
     "multimodal_decoded_stats",
+    "render_fallback_pass",
+    "neardup_component_clusters",
 ]
 
 
