@@ -162,14 +162,35 @@ _PSL_PATH = os.path.join(
 )
 
 
-def _load_psl(path: str):
-    """→ (exact_rules, wildcard_parents, exception_rules) as frozensets
-    of dot-joined label strings, or None if the snapshot is absent."""
+def _read_psl_text() -> "str | None":
+    """Load the PSL snapshot via importlib.resources first so it also
+    resolves when the package is imported from a ``spark-submit
+    --py-files`` zip (zipimport: ``__file__`` points inside the
+    archive, so a plain open() would miss and silently degrade every
+    executor to the embedded fallback subset). Path-based open remains
+    the fallback for source checkouts without package metadata."""
     try:
-        with open(path, encoding="utf-8") as fh:
-            lines = fh.read().splitlines()
+        from importlib.resources import files
+
+        return (
+            files("breakchecker_spark") / "data" / "public_suffix_list_icann.dat"
+        ).read_text(encoding="utf-8")
+    except Exception:
+        pass
+    try:
+        with open(_PSL_PATH, encoding="utf-8") as fh:
+            return fh.read()
     except OSError:
         return None
+
+
+def _load_psl():
+    """→ (exact_rules, wildcard_parents, exception_rules) as frozensets
+    of dot-joined label strings, or None if the snapshot is absent."""
+    text = _read_psl_text()
+    if text is None:
+        return None
+    lines = text.splitlines()
     exact, wild, exc = set(), set(), set()
     for line in lines:
         rule = line.strip()
@@ -190,7 +211,7 @@ def _load_psl(path: str):
     return frozenset(exact), frozenset(wild), frozenset(exc)
 
 
-_psl = _load_psl(_PSL_PATH)
+_psl = _load_psl()
 if _psl is not None:
     _EXACT_SUFFIXES, _WILDCARD_PARENTS, _WILDCARD_EXCEPTIONS = _psl
 else:  # pragma: no cover - snapshot ships with the package

@@ -22,7 +22,10 @@ def build(out_path: str) -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in sorted(filenames):
-                if not fn.endswith(".py"):
+                # ship package data too (the ICANN PSL snapshot): a
+                # .py-only zip silently degrades every executor's
+                # suffix resolution to the embedded fallback subset
+                if not fn.endswith((".py", ".dat")):
                     continue
                 full = os.path.join(dirpath, fn)
                 arc = os.path.relpath(full, REPO)
