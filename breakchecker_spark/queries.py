@@ -1587,7 +1587,7 @@ ORACLES["render_fallback_pass"] = """
 
 # duplicate clusters: the iterative label-propagation components vs a
 # transitive-closure reachability CTE over the identical LSH pairs
-ORACLES["neardup_component_clusters"] = """
+ORACLES["neardup_component_clusters"] = r"""
     WITH RECURSIVE sh AS (
         SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(tk)-2,1)+1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
         FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents)
