@@ -43,6 +43,43 @@ def parquet_rows(path: str) -> int:
     return total
 
 
+def partition_stats(path: str) -> Dict[str, tuple]:
+    """Per-partition (files, rows, bytes) from parquet footers — no
+    Spark job. Keys are the partition directory relative to the version
+    root ("bucket=7", nested "a=1/b=2", or "" for an unpartitioned
+    table). This is the raw material of the lineage table: who wrote
+    how much into which partition, observable at commit time for free
+    because the staging path already reads these footers for its
+    returned row counts."""
+    stats: Dict[str, tuple] = {}
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        part = os.path.dirname(os.path.relpath(f, path))
+        md = pq.ParquetFile(f).metadata
+        files, rows, nbytes = stats.get(part, (0, 0, 0))
+        stats[part] = (files + 1, rows + md.num_rows, nbytes + os.path.getsize(f))
+    return stats
+
+
+# per-partition lineage rows, written driver-side at commit (no Spark
+# job — same pyarrow fast path as the metrics table). One row per
+# (staged table version, partition dir) per commit; history survives
+# compaction because it describes what each COMMIT staged, not what is
+# currently live. The analogue of Iceberg's per-snapshot manifest-entry
+# stats (record_count / file_size per data file, rolled up to the
+# partition).
+LINEAGE_ARROW = pa.schema(
+    [
+        ("round", pa.int64()),
+        ("table", pa.string()),
+        ("version", pa.string()),
+        ("partition", pa.string()),
+        ("files", pa.int64()),
+        ("rows", pa.int64()),
+        ("bytes", pa.int64()),
+    ]
+)
+
+
 class CheckpointStore:
     """Versioned table store with an atomic multi-table commit per round."""
 
@@ -51,6 +88,9 @@ class CheckpointStore:
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "_manifest.json")
         self._pending: Dict[str, List[int]] = {}
+        # (table, version-str) → partition_stats for everything staged
+        # since the last commit; flushed into the lineage table by it
+        self._pending_lineage: Dict[tuple, Dict[str, tuple]] = {}
 
     # ------------------------------------------------------------ state
 
@@ -60,6 +100,7 @@ class CheckpointStore:
             shutil.rmtree(self.root)
         os.makedirs(self.root, exist_ok=True)
         self._pending = {}
+        self._pending_lineage = {}
 
     def manifest(self) -> Optional[dict]:
         """Last committed state, or None for a fresh store."""
@@ -109,12 +150,21 @@ class CheckpointStore:
             "compression", os.environ.get("SPARK_GRAFT_CKPT_CODEC", "snappy")
         ).parquet(path)
 
+    def _record_lineage(self, table: str, version) -> int:
+        """Footer-walk a freshly staged version once: remember its
+        per-partition stats for the commit's lineage rows and return
+        the total row count (the walk the stage_* return value already
+        needed — lineage costs no extra I/O)."""
+        stats = partition_stats(self._dir(table, version))
+        self._pending_lineage[(table, str(version))] = stats
+        return sum(rows for _files, rows, _bytes in stats.values())
+
     def stage_replace(self, table: str, df: DataFrame, round_no: int) -> int:
         """Write a full new version; commit makes it the only live one.
         Returns the staged row count (from parquet footers, no job)."""
         self._write(table, df, round_no)
         self._pending[table] = [round_no]
-        return parquet_rows(self._dir(table, round_no))
+        return self._record_lineage(table, round_no)
 
     def stage_append(
         self,
@@ -134,13 +184,50 @@ class CheckpointStore:
         # chain off an earlier same-commit staging (compaction) if any
         base = self._pending.get(table, self._committed_versions(table))
         self._pending[table] = list(base) + [round_no]
-        return parquet_rows(self._dir(table, round_no))
+        return self._record_lineage(table, round_no)
 
     def commit(self, round_no: int, extra: dict | None = None) -> None:
-        """Atomically publish all staged tables as the current state."""
+        """Atomically publish all staged tables as the current state.
+
+        Also flushes this commit's per-partition lineage (north rule:
+        "per-partition lineage + metrics"): one row per staged
+        (table version, partition dir) with file/row/byte counts,
+        appended as a tiny driver-side parquet delta under the
+        ``lineage`` table — no Spark job, and atomic with the commit
+        because the manifest swap publishes both together."""
         m = self.manifest() or {"tables": {}}
         tables = dict(m["tables"])
         tables.update(self._pending)
+        if self._pending_lineage:
+            committed = list(tables.get("lineage", []))
+            # same-round recommits (e.g. a resume-time rewrite) get a
+            # distinct version dir so read() never unions one dir twice
+            tag = round_no
+            while tag in committed or str(tag) in map(str, committed):
+                tag = f"{tag}l"
+            rows = [
+                {
+                    "round": round_no,
+                    "table": table,
+                    "version": version,
+                    "partition": part,
+                    "files": files,
+                    "rows": nrows,
+                    "bytes": nbytes,
+                }
+                for (table, version), stats in sorted(self._pending_lineage.items())
+                for part, (files, nrows, nbytes) in sorted(stats.items())
+            ]
+            path = self._dir("lineage", tag)
+            if os.path.exists(path):
+                shutil.rmtree(path)  # orphan from a killed run
+            os.makedirs(path, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pylist(rows, schema=LINEAGE_ARROW),
+                os.path.join(path, "part-00000.parquet"),
+                compression="zstd",
+            )
+            tables["lineage"] = committed + [tag]
         manifest = {"round": round_no, "tables": tables}
         if extra:
             manifest.update(extra)
@@ -149,6 +236,7 @@ class CheckpointStore:
             json.dump(manifest, fh)
         os.replace(tmp, self._manifest_path)
         self._pending = {}
+        self._pending_lineage = {}
 
     def stage_append_rows(
         self,
@@ -173,6 +261,7 @@ class CheckpointStore:
         )
         base = self._pending.get(table, self._committed_versions(table))
         self._pending[table] = list(base) + [round_no]
+        self._record_lineage(table, round_no)
         return tbl.num_rows
 
     def stage_rewrite(
@@ -191,6 +280,7 @@ class CheckpointStore:
         re-read it (truncating plan lineage)."""
         self._write(table, df, tag, partition_by=partition_by)
         self._pending[table] = [tag]
+        self._record_lineage(table, tag)
         return self._dir(table, tag)
 
     def compact(
@@ -235,6 +325,7 @@ class CheckpointStore:
         tag = f"{round_no}c"
         self._write(table, df, tag, partition_by=partition_by)
         self._pending[table] = [tag]
+        self._record_lineage(table, tag)
         return True
 
     def table_rows(self, table: str) -> Optional[int]:
@@ -265,6 +356,56 @@ class CheckpointStore:
                     shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
                     removed += 1
         return removed
+
+    def verify_integrity(self) -> List[dict]:
+        """Audit every live table version against its committed lineage.
+
+        Re-walks the parquet footers of each version the manifest
+        references and compares per-partition (files, rows, bytes)
+        with what the writing commit recorded — detecting lost,
+        truncated, or foreign data files *before* a resume trusts the
+        checkpoint (the plain-parquet analogue of Iceberg validating
+        manifest entries against data files). Driver-side only, no
+        Spark job. Returns one dict per discrepancy (empty = intact);
+        versions that predate lineage recording are skipped."""
+        m = self.manifest()
+        if m is None:
+            return []
+        recorded: Dict[tuple, tuple] = {}
+        for v in m["tables"].get("lineage", []):
+            d = self._dir("lineage", v)
+            for f in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+                for r in pq.read_table(f).to_pylist():
+                    recorded[(r["table"], r["version"], r["partition"])] = (
+                        r["files"],
+                        r["rows"],
+                        r["bytes"],
+                    )
+        problems: List[dict] = []
+        for table, versions in m["tables"].items():
+            if table == "lineage":
+                continue
+            for v in versions:
+                expected = {
+                    part: s
+                    for (t, ver, part), s in recorded.items()
+                    if t == table and ver == str(v)
+                }
+                if not expected:
+                    continue  # pre-lineage version (or zero-row delta)
+                actual = partition_stats(self._dir(table, v))
+                for part in sorted(set(actual) | set(expected)):
+                    if actual.get(part) != expected.get(part):
+                        problems.append(
+                            {
+                                "table": table,
+                                "version": str(v),
+                                "partition": part,
+                                "expected": expected.get(part),
+                                "actual": actual.get(part),
+                            }
+                        )
+        return problems
 
     def read(self, spark: SparkSession, table: str) -> Optional[DataFrame]:
         """Read a table at its last committed state (None if absent).

@@ -112,6 +112,10 @@ class CrawlConfig:
     # pre-extraction pays it once, embarrassingly parallel.
     pre_extract: bool = False
     checkpoint_dir: Optional[str] = None
+    # on resume, audit every live table version's parquet footers
+    # against the committed per-partition lineage before trusting the
+    # checkpoint (CheckpointStore.verify_integrity); raises on mismatch
+    verify_checkpoint: bool = False
     run_id: str = "run0"
     max_rounds: int = 1000
     default_region: Optional[str] = None  # derived from scope TLD when None
@@ -131,6 +135,9 @@ class CrawlResult:
     metrics: DataFrame  # (run_id, round, metric, value)
     rounds: int
     summary: dict = field(default_factory=dict)
+    # per-partition commit lineage (round, table, version, partition,
+    # files, rows, bytes) — populated only for checkpointed runs
+    lineage: Optional[DataFrame] = None
 
 
 def _fetch_key(url_col):
@@ -232,6 +239,14 @@ def run_crawl(
     start_round = 0
     bloom_table = None
     if resume and store is not None and store.manifest() is not None:
+        if config.verify_checkpoint:
+            problems = store.verify_integrity()
+            if problems:
+                raise RuntimeError(
+                    "checkpoint integrity check failed — live data files "
+                    f"disagree with committed lineage: {problems[:5]}"
+                    + (f" (+{len(problems) - 5} more)" if len(problems) > 5 else "")
+                )
         start_round = store.last_round() + 1
         frontier = store.read(spark, "frontier")
         url_seen = store.read(spark, "url_seen")
@@ -552,6 +567,9 @@ def run_crawl(
                 store.compact(
                     spark, "metrics", round_no, min_versions=config.compact_every
                 )
+                store.compact(
+                    spark, "lineage", round_no, min_versions=config.compact_every
+                )
                 tt = _tlog(f"r{round_no} compact", t0)
             # Stage contacts first: it materializes every shared cache
             # (eligible, harvested pages, contact rows). The remaining
@@ -687,4 +705,9 @@ def run_crawl(
         .count(),
         "rounds": rounds_run,
     }
-    return CrawlResult(url_seen, deduped, metrics, rounds_run, summary)
+    lineage = (
+        store.read(spark, "lineage")
+        if store is not None and store.manifest() is not None
+        else None
+    )
+    return CrawlResult(url_seen, deduped, metrics, rounds_run, summary, lineage)

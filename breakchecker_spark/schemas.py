@@ -77,12 +77,30 @@ ROBOTS = T.StructType(
     ]
 )
 
-# Per-round, per-partition lineage + metrics (north rule; reference D10).
+# Per-round crawl metrics (north rule; reference D10).
 METRICS = T.StructType(
     [
         T.StructField("run_id", T.StringType(), False),
         T.StructField("round", T.IntegerType(), False),
         T.StructField("metric", T.StringType(), False),
         T.StructField("value", T.LongType(), False),
+    ]
+)
+
+# Per-partition commit lineage (north rule: "per-partition lineage +
+# metrics checkpoint"): one row per (staged table version, partition
+# dir) per atomic commit, with file/row/byte counts — the Iceberg
+# manifest-entry-stats analogue. Written driver-side from parquet
+# footers (plans/checkpoint.py LINEAGE_ARROW mirrors this); audited
+# against live files by CheckpointStore.verify_integrity().
+LINEAGE = T.StructType(
+    [
+        T.StructField("round", T.LongType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("version", T.StringType(), False),
+        T.StructField("partition", T.StringType(), False),
+        T.StructField("files", T.LongType(), False),
+        T.StructField("rows", T.LongType(), False),
+        T.StructField("bytes", T.LongType(), False),
     ]
 )
