@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--checkpoint", help="checkpoint dir (enables exact resume)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--verify-checkpoint",
+        action="store_true",
+        help="on --resume, audit live checkpoint files against the "
+        "committed per-partition lineage before trusting them",
+    )
     p.add_argument("--output", default=None, help="report file path")
     p.add_argument("--fmt", choices=["json", "csv", "md"], default="json")
     p.add_argument("--contacts-sink", help="executor-side parquet sink for full contacts")
@@ -158,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
         use_bloom=not args.no_bloom,
         pre_extract=args.pre_extract,
         checkpoint_dir=args.checkpoint,
+        verify_checkpoint=args.verify_checkpoint,
     )
     result = run_crawl(
         spark,

@@ -137,6 +137,32 @@ def test_lineage_survives_compaction_and_gc(spark, seeds_df, pages_df, tmp_path)
     assert compacted  # the rewrite itself is lineage-tracked
 
 
+def test_cli_verify_checkpoint_flag(spark, pages_df, tmp_path):
+    """--resume --verify-checkpoint: clean audit resumes, a corrupted
+    checkpoint aborts with the integrity error."""
+    from breakchecker_spark import cli
+
+    pages_path = str(tmp_path / "pages")
+    pages_df.write.parquet(pages_path)
+    ck = str(tmp_path / "ck")
+    args = [
+        "--domain", fixture_web.SCOPE,
+        "--pages", pages_path,
+        "--depth", "2",
+        "--checkpoint", ck,
+        "--output", str(tmp_path / "r.json"),
+    ]
+    assert cli.main(args) == 0
+    assert cli.main(args + ["--resume", "--verify-checkpoint"]) == 0
+    victim = sorted(
+        glob.glob(os.path.join(ck, "url_seen", "v*", "**", "*.parquet"),
+                  recursive=True)
+    )[0]
+    os.remove(victim)
+    with pytest.raises(RuntimeError, match="integrity"):
+        cli.main(args + ["--resume", "--verify-checkpoint"])
+
+
 def test_store_level_lineage_unpartitioned(spark, tmp_path):
     """Plain append table: partition dir is empty-string, counts match."""
     store = CheckpointStore(str(tmp_path / "s"))
