@@ -140,7 +140,10 @@ def main() -> None:
         "resume_seconds": round(resume_s, 2),
         "resumed_contacts": resumed_ids,
     }
-    out = os.path.join(REPO, "BENCH", "checkpoint_probe_r5.json")
+    out = os.environ.get(
+        "SPARK_GRAFT_PROBE_OUT",
+        os.path.join(REPO, "BENCH", "checkpoint_probe_r5.json"),
+    )
     with open(out, "w") as fh:
         json.dump(report, fh, indent=2)
     print(json.dumps(report))
