@@ -54,6 +54,7 @@ HEADLINE = [
     "multimodal_decoded_stats",
     "render_fallback_pass",
     "neardup_component_clusters",
+    "warc_roundtrip_records",
 ]
 
 
