@@ -719,6 +719,88 @@ def warc_roundtrip_records(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def sitemap_seed_extract(spark, sf_dir):
+    """Sitemap ingestion under the hash gate: documents are rendered
+    into 8 deterministic ``urlset`` sitemaps (escaped ``&amp;`` in
+    every loc, lastmod OMITTED for every 5th record to force the
+    optional-field-alignment bug class, per-record priority), linked
+    from a ``sitemapindex``, which is linked from a robots.txt
+    ``Sitemap:`` directive — then the real chain runs:
+    ``sitemap_urls_from_robots`` → ``expand_sitemaps`` (driver-bounded
+    nesting, distributed Catalyst parse, no UDFs) → entry rows. The
+    oracle rebuilds every entry arithmetically; a mis-aligned lastmod,
+    a missed unescape, or a dropped record fails the hash."""
+    from .sources import sitemap as sm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    dd = F.lpad(((did % 28) + 1).cast("string"), 2, "0")
+    frag = F.concat(
+        F.lit("<url><loc>https://s.example/d/"),
+        did.cast("string"),
+        F.lit("?a=1&amp;b=2</loc>"),
+        F.when(
+            did % 5 != 0,
+            F.concat(F.lit("<lastmod>2025-01-"), dd, F.lit("</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.lit("<priority>0."),
+        (did % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    smurl = F.concat(
+        F.lit("https://s.example/sm/"), (did % 8).cast("string"), F.lit(".xml")
+    )
+    leaves = (
+        docs.select(
+            smurl.alias("sitemap_url"),
+            F.struct(did.alias("doc_id"), frag.alias("f")).alias("s"),
+        )
+        .groupBy("sitemap_url")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0" encoding="UTF-8"?><urlset '
+                    'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.expr("concat_ws('', transform(array_sort(collect_list(s)), x -> x.f))"),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    index_xml = (
+        '<?xml version="1.0" encoding="UTF-8"?><sitemapindex '
+        'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "".join(
+            f"<sitemap><loc>https://s.example/sm/{i}.xml</loc></sitemap>"
+            for i in range(8)
+        )
+        + "</sitemapindex>"
+    )
+    stored = leaves.unionByName(
+        spark.createDataFrame(
+            [("https://s.example/sm/index.xml", index_xml)],
+            "sitemap_url string, xml string",
+        )
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                "s.example",
+                "User-agent: *\nDisallow:\n"
+                "Sitemap: https://s.example/sm/index.xml  # discovery\n",
+            )
+        ],
+        "host string, body string",
+    )
+
+    def _fetch(urls):
+        return urls.join(stored, "sitemap_url").select("sitemap_url", "xml")
+
+    start = sm.sitemap_urls_from_robots(robots).select("sitemap_url")
+    entries = sm.expand_sitemaps(_fetch(start), _fetch)
+    return entries.select("url", "lastmod", "priority").orderBy("url")
+
+
 # =====================================================================
 # The crawl loop itself, under the hash gate (r3 verdict item #1)
 # =====================================================================
@@ -938,6 +1020,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "render_fallback_pass": render_fallback_pass,
     "neardup_component_clusters": neardup_component_clusters,
     "warc_roundtrip_records": warc_roundtrip_records,
+    "sitemap_seed_extract": sitemap_seed_extract,
     "crawl_frontier_bfs": crawl_frontier_bfs,
     "crawl_frontier_bfs_preextract": crawl_frontier_bfs_preextract,
     "crawl_frontier_bfs_budget": crawl_frontier_bfs_budget,
@@ -1637,6 +1720,20 @@ ORACLES["warc_roundtrip_records"] = """
            sha256(text) AS payload_sha
     FROM documents
     ORDER BY doc_id
+"""
+
+# sitemap chain: robots Sitemap: line -> sitemapindex -> 8 urlsets;
+# the oracle derives each entry's loc/lastmod/priority arithmetically
+ORACLES["sitemap_seed_extract"] = """
+    SELECT 'https://s.example/d/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+               AS url,
+           CASE WHEN doc_id % 5 = 0 THEN NULL
+                ELSE '2025-01-' ||
+                     lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+           END AS lastmod,
+           '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
+    FROM documents
+    ORDER BY url
 """
 
 # duplicate clusters: the iterative label-propagation components vs a
