@@ -56,6 +56,7 @@ HEADLINE = [
     "neardup_component_clusters",
     "warc_roundtrip_records",
     "sitemap_seed_extract",
+    "boilerplate_main_text",
 ]
 
 

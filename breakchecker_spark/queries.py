@@ -801,6 +801,51 @@ def sitemap_seed_extract(spark, sf_dir):
     return entries.select("url", "lastmod", "priority").orderBy("url")
 
 
+def boilerplate_main_text(spark, sf_dir):
+    """Boilerplate removal under the hash gate: every document becomes
+    a page with four deterministic blocks — a link-only nav (density
+    1.0 → dropped), a content paragraph (shrunk below the length
+    threshold for every 3rd doc → dropped there), a short footer
+    (dropped), and a prose paragraph with one inline link (density
+    0.28 → kept) — then the real ``operators.content.main_text`` runs:
+    HTMLParser block segmentation in Arrow batches, Catalyst keep
+    rule, in-order concat. The oracle rebuilds the expected main text
+    per page arithmetically; a wrong block split, a mis-counted link
+    run, or an out-of-order concat fails the hash."""
+    from .operators import content
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    filler = "lorem ipsum dolor sit amet consectetur adipiscing"
+    prose = "The quick brown fox jumps over the lazy sleeping dog"
+    link = "continue reading more"
+    body2 = F.concat(
+        F.lit("doc "),
+        did,
+        F.when(F.col("doc_id") % 3 != 0, F.lit(" " + filler)).otherwise(
+            F.lit("")
+        ),
+    )
+    html = F.concat(
+        F.lit(
+            '<html><body><div><a href="/">Home</a> <a href="/about">About'
+            '</a> <a href="/contact">Contact</a></div><p>'
+        ),
+        body2,
+        F.lit("</p><p>© 2025 example footer</p><p>"),
+        F.lit(prose + ' <a href="/more">' + link + "</a></p></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://b.example/d/"), did).alias("url"),
+        html.alias("html"),
+    )
+    return (
+        content.main_text(pages)
+        .select("url", "main_text", "n_blocks", "n_dropped")
+        .orderBy("url")
+    )
+
+
 # =====================================================================
 # The crawl loop itself, under the hash gate (r3 verdict item #1)
 # =====================================================================
@@ -1021,6 +1066,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_component_clusters": neardup_component_clusters,
     "warc_roundtrip_records": warc_roundtrip_records,
     "sitemap_seed_extract": sitemap_seed_extract,
+    "boilerplate_main_text": boilerplate_main_text,
     "crawl_frontier_bfs": crawl_frontier_bfs,
     "crawl_frontier_bfs_preextract": crawl_frontier_bfs_preextract,
     "crawl_frontier_bfs_budget": crawl_frontier_bfs_budget,
@@ -1732,6 +1778,25 @@ ORACLES["sitemap_seed_extract"] = """
                      lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
            END AS lastmod,
            '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
+    FROM documents
+    ORDER BY url
+"""
+
+# boilerplate removal: the oracle rebuilds each page's expected kept
+# text from the same deterministic four-block construction
+ORACLES["boilerplate_main_text"] = """
+    SELECT 'https://b.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'The quick brown fox jumps over the lazy sleeping dog'
+                     || ' continue reading more'
+                ELSE 'doc ' || CAST(doc_id AS VARCHAR)
+                     || ' lorem ipsum dolor sit amet consectetur adipiscing'
+                     || chr(10)
+                     || 'The quick brown fox jumps over the lazy sleeping dog'
+                     || ' continue reading more'
+           END AS main_text,
+           4 AS n_blocks,
+           CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS n_dropped
     FROM documents
     ORDER BY url
 """
