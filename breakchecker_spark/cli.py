@@ -28,6 +28,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--domain", required=True, help="scan-scope apex domain")
     p.add_argument("--pages", help="parquet/iceberg pages table path (replay mode)")
     p.add_argument(
+        "--pages-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="replay input format: 'warc' replays a directory of WARC "
+        "files (e.g. a Common Crawl slice) via the distributed reader "
+        "in sources/warc.py",
+    )
+    p.add_argument(
         "--live",
         action="store_true",
         help="fetch the live web instead of replaying a pages table: "
@@ -121,7 +129,14 @@ def main(argv: list[str] | None = None) -> int:
 
     from .sources import fetcher as fetcher_mod
 
-    pages = spark.read.parquet(args.pages) if args.pages else None
+    if args.pages and args.pages_format == "warc":
+        from .sources import warc as warc_mod
+
+        pages = warc_mod.warc_to_pages(warc_mod.read_warc(spark, args.pages))
+    elif args.pages:
+        pages = spark.read.parquet(args.pages)
+    else:
+        pages = None
     seed_sources = (
         [spark.read.parquet(args.seeds)] if args.seeds else []
     )

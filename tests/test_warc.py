@@ -88,6 +88,41 @@ def test_truncated_record_raises(spark, tmp_path):
         list(warc.iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\nbody\r\n\r\n"))
 
 
+def test_cli_replays_warc_directory(spark, tmp_path):
+    """`--pages <dir> --pages-format warc` runs the full CLI pipeline
+    off a WARC dump instead of a parquet pages table."""
+    import json
+
+    from breakchecker_spark import cli
+
+    html_root = (
+        b'<html><body><a href="https://acme.gr/c">c</a>'
+        b"<p>info@acme.gr</p></body></html>"
+    )
+    html_c = b"<html><body><p>sales@acme.gr</p></body></html>"
+    docs = spark.createDataFrame(
+        [(0, "https://acme.gr/", html_root), (1, "https://acme.gr/c", html_c)],
+        "doc_id long, url string, payload binary",
+    )
+    wdir = str(tmp_path / "dump")
+    warc.write_warc(docs, wdir, n_files=1, compress=True).collect()
+    out = str(tmp_path / "report.json")
+    rc = cli.main(
+        [
+            "--domain", "acme.gr",
+            "--pages", wdir,
+            "--pages-format", "warc",
+            "--depth", "2",
+            "--output", out,
+            "--fmt", "json",
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(open(out).read())
+    got = {e["email"] for e in rep["emails"]}
+    assert got == {"info@acme.gr", "sales@acme.gr"}
+
+
 def test_warc_to_pages_feeds_crawl(spark, tmp_path):
     """A WARC dump of a 2-page site replays through the real crawl."""
     from breakchecker_spark import schemas
