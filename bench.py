@@ -57,6 +57,7 @@ HEADLINE = [
     "warc_roundtrip_records",
     "sitemap_seed_extract",
     "boilerplate_main_text",
+    "cdx_surt_index",
 ]
 
 

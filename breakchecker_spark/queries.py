@@ -846,6 +846,47 @@ def boilerplate_main_text(spark, sf_dir):
     )
 
 
+def cdx_surt_index(spark, sf_dir):
+    """CDX(J) index round-trip under the hash gate: per-document
+    capture records with hostile URLs (mixed-case host, userinfo-free
+    port, unsorted query params, fragment) are SURT-keyed and built
+    into a sorted CDX table (``sources/cdx.py`` — pure Catalyst),
+    serialized to real CDXJ text lines on disk, then re-read with the
+    line-splittable reader. The oracle rebuilds urlkey/timestamp/json
+    fields arithmetically — a wrong label reversal, an unsorted query,
+    a kept port or fragment, or a broken json round-trip fails the
+    hash."""
+    import tempfile
+
+    from .sources import cdx as cdx_mod
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://D"),
+        (did % 5).cast("string"),
+        F.lit(".Sub.Example.COM:8443/p/"),
+        did.cast("string"),
+        F.lit("?b=2&a="),
+        (did % 7).cast("string"),
+        F.lit("#frag"),
+    )
+    records = docs.select(
+        url.alias("url"),
+        F.lit("2025-01-01T00:00:00Z").alias("warc_date"),
+        F.lit(200).alias("http_status"),
+        (F.lit(100) + did % 50).cast("long").alias("content_length"),
+        F.concat(
+            F.lit("part-0000"), (did % 3).cast("string"), F.lit(".warc.gz")
+        ).alias("warc_file"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="bc_cdx_")
+    cdx_mod.cdxj_lines(cdx_mod.build_cdx(records)).write.mode("overwrite").text(
+        out_dir
+    )
+    return cdx_mod.read_cdx(spark, out_dir).orderBy("urlkey")
+
+
 # =====================================================================
 # The crawl loop itself, under the hash gate (r3 verdict item #1)
 # =====================================================================
@@ -1067,6 +1108,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_roundtrip_records": warc_roundtrip_records,
     "sitemap_seed_extract": sitemap_seed_extract,
     "boilerplate_main_text": boilerplate_main_text,
+    "cdx_surt_index": cdx_surt_index,
     "crawl_frontier_bfs": crawl_frontier_bfs,
     "crawl_frontier_bfs_preextract": crawl_frontier_bfs_preextract,
     "crawl_frontier_bfs_budget": crawl_frontier_bfs_budget,
@@ -1799,6 +1841,24 @@ ORACLES["boilerplate_main_text"] = """
            CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS n_dropped
     FROM documents
     ORDER BY url
+"""
+
+# CDX index: urlkey (SURT), timestamp, and the json fields are all
+# rebuilt arithmetically from the same deterministic construction
+ORACLES["cdx_surt_index"] = """
+    SELECT 'com,example,sub,d' || CAST(doc_id % 5 AS VARCHAR)
+               || ')/p/' || CAST(doc_id AS VARCHAR)
+               || '?a=' || CAST(doc_id % 7 AS VARCHAR) || '&b=2' AS urlkey,
+           '20250101000000' AS "timestamp",
+           'https://D' || CAST(doc_id % 5 AS VARCHAR)
+               || '.Sub.Example.COM:8443/p/' || CAST(doc_id AS VARCHAR)
+               || '?b=2&a=' || CAST(doc_id % 7 AS VARCHAR) || '#frag' AS url,
+           200 AS status,
+           CAST(100 + doc_id % 50 AS BIGINT) AS length,
+           'part-0000' || CAST(doc_id % 3 AS VARCHAR) || '.warc.gz'
+               AS filename
+    FROM documents
+    ORDER BY urlkey
 """
 
 # duplicate clusters: the iterative label-propagation components vs a
