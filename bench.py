@@ -58,6 +58,8 @@ HEADLINE = [
     "sitemap_seed_extract",
     "boilerplate_main_text",
     "cdx_surt_index",
+    "repetition_scores",
+    "pii_redaction",
 ]
 
 

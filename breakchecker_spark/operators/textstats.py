@@ -137,3 +137,123 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         fingerprint_md5(t).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+# Discard thresholds from the Gopher paper (Rae et al. 2021, table A1):
+# a document is low-quality when the fraction of characters covered by
+# the single most frequent token n-gram, or by the excess occurrences of
+# duplicated n-grams, exceeds these bounds.
+GOPHER_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def ngram_strings(tokens: Column, n: int) -> Column:
+    """Space-joined token ``n``-grams as an array column.
+
+    Empty array (never a descending ``sequence``) when the document has
+    fewer than ``n`` tokens.
+    """
+    last = F.size(tokens) - (n - 1)
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3),
+    dup_ns: tuple = (5,),
+) -> DataFrame:
+    """Per-document repetition metrics over token n-grams.
+
+    For each ``n`` in ``top_ns``: ``top{n}_frac`` = characters covered
+    by the most frequent n-gram (count x len, ties broken by the larger
+    character cover so the metric itself is tie-insensitive) / doc
+    chars, capped at 1. For each ``n`` in ``dup_ns``: ``dup{n}_frac`` =
+    characters in EXCESS occurrences of duplicated n-grams
+    (sum (count-1) x len over n-grams with count > 1) / doc chars.
+    ``keep`` ANDs the Gopher thresholds over the requested metrics.
+
+    Scale path: one explode + two hash aggregations. The first shuffle
+    is keyed on (doc, n, gram) — high cardinality, no skew — with
+    map-side partial aggregation; the second collapses to one row per
+    document. No window functions, no Python in the hot path; overall
+    cost is O(total n-grams), unlike the per-doc quadratic
+    distinct x filter formulation.
+    """
+    ns = sorted(set(top_ns) | set(dup_ns))
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    # Single-arg closure factory: a `lambda g, n=n` would be seen by
+    # F.transform as a TWO-arg lambda, which binds the second parameter
+    # to the element INDEX — silently shadowing the captured n.
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.flatten(
+        F.array(*[F.transform(ngram_strings(toks, n), _tag(n)) for n in ns])
+    )
+    # explode_outer keeps documents too short to form any n-gram: they
+    # surface with NULL metrics and coalesce to 0.0 fractions below.
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("double").alias("n_chars"),
+        F.explode_outer(tagged).alias("g"),
+    ).select("doc_id", "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+
+    cnts = ex.groupBy("doc_id", "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # max over struct(cnt, chars) = lexicographic: highest count first,
+    # ties resolved toward the larger character cover — deterministic
+    # and mirrored verbatim by DuckDB struct comparison.
+    per_n = cnts.groupBy("doc_id", "n_chars", "n").agg(
+        F.max(
+            F.struct(
+                F.col("cnt").alias("cnt"),
+                (F.col("cnt") * F.length("gram")).alias("chars"),
+            )
+        ).alias("top"),
+        F.sum(
+            F.when(F.col("cnt") > 1, (F.col("cnt") - 1) * F.length("gram")).otherwise(
+                F.lit(0)
+            )
+        ).alias("dupchars"),
+    )
+    wide = per_n.groupBy("doc_id", "n_chars").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top.chars"))).alias(f"_top{n}")
+            for n in top_ns
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dupchars"))).alias(f"_dup{n}")
+            for n in dup_ns
+        ],
+    )
+
+    def _frac(c: Column) -> Column:
+        # coalesce BEFORE least: least() skips NULL operands (in both
+        # Spark and DuckDB), so least(NULL, 1.0) would be 1.0 — turning
+        # every too-short document into worst-possible repetition.
+        return F.round(
+            F.least(F.coalesce(c / F.col("n_chars"), F.lit(0.0)), F.lit(1.0)), 6
+        )
+
+    out = wide.select(
+        "doc_id",
+        *[_frac(F.col(f"_top{n}")).alias(f"top{n}_frac") for n in top_ns],
+        *[_frac(F.col(f"_dup{n}")).alias(f"dup{n}_frac") for n in dup_ns],
+    )
+    keep = F.lit(True)
+    for n in top_ns:
+        keep = keep & (F.col(f"top{n}_frac") <= F.lit(GOPHER_TOP_THRESHOLDS[n]))
+    for n in dup_ns:
+        keep = keep & (F.col(f"dup{n}_frac") <= F.lit(GOPHER_DUP_THRESHOLDS[n]))
+    return out.withColumn("keep", keep)

@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import schemas
-from .operators import dedup, similarity, textstats
+from .operators import dedup, pii, similarity, textstats
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -351,6 +351,34 @@ def quality_scores(spark, sf_dir):
     return docs.select(
         "doc_id", textstats.quality_score(F.col("text")).alias("quality")
     ).orderBy("doc_id")
+
+
+def repetition_scores(spark, sf_dir):
+    """Gopher-style repetition quality filters over token n-grams."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs).orderBy("doc_id")
+
+
+def pii_redaction(spark, sf_dir):
+    """PII masking with the extraction-pass regexes.
+
+    The synthetic corpus carries no identifiers, so the query welds a
+    deterministic email + E.164-ish phone onto each document before
+    redacting — exercising the matcher against real surrounding text.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact p"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call +1 (555) 01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-4567 now"),
+        ).alias("raw"),
+    )
+    return pii.pii_stats(raw, text_col="raw").orderBy("doc_id")
 
 
 def ann_cosine_topk(spark, sf_dir):
@@ -1092,6 +1120,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count_stats": token_count_stats,
     "lang_id_pred": lang_id_pred,
     "quality_scores": quality_scores,
+    "repetition_scores": repetition_scores,
+    "pii_redaction": pii_redaction,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
@@ -1900,4 +1930,73 @@ ORACLES["neardup_component_clusters"] = r"""
            CAST(min(r) AS BIGINT) AS component,
            CAST(count(DISTINCT r) AS BIGINT) AS component_size
     FROM reach GROUP BY id ORDER BY id
+"""
+
+# Repetition metrics: same tokenizer as the engine (_TOKS), n-grams via
+# list_transform over range (empty when the doc is shorter than n), the
+# same two-level aggregation, and MAX over struct(cnt, chars) for the
+# identical tie-insensitive "most frequent n-gram" resolution.
+ORACLES["repetition_scores"] = r"""
+    WITH t AS (
+        SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents),
+    grams AS (
+        SELECT doc_id, n_chars, n,
+               unnest(list_transform(
+                   range(1, greatest(len(tk) - n + 1, 0) + 1),
+                   i -> array_to_string(tk[i:i+n-1], ' '))) AS gram
+        FROM t, (VALUES (2), (3), (5)) AS ns(n)),
+    cnts AS (
+        SELECT doc_id, n_chars, n, gram, count(*) AS cnt
+        FROM grams GROUP BY ALL),
+    per_n AS (
+        SELECT doc_id, n_chars, n,
+               max(struct_pack(cnt := cnt, chars := cnt * length(gram))) AS top,
+               sum(CASE WHEN cnt > 1 THEN (cnt - 1) * length(gram)
+                        ELSE 0 END) AS dupchars
+        FROM cnts GROUP BY ALL),
+    wide AS (
+        SELECT doc_id,
+               max(CASE WHEN n = 2 THEN struct_extract(top, 'chars') END) AS t2,
+               max(CASE WHEN n = 3 THEN struct_extract(top, 'chars') END) AS t3,
+               max(CASE WHEN n = 5 THEN dupchars END) AS d5
+        FROM per_n GROUP BY doc_id)
+    SELECT t.doc_id,
+           round(least(coalesce(t2 / n_chars, 0.0), 1.0), 6) AS top2_frac,
+           round(least(coalesce(t3 / n_chars, 0.0), 1.0), 6) AS top3_frac,
+           round(least(coalesce(d5 / n_chars, 0.0), 1.0), 6) AS dup5_frac,
+           (round(least(coalesce(t2 / n_chars, 0.0), 1.0), 6) <= 0.20
+            AND round(least(coalesce(t3 / n_chars, 0.0), 1.0), 6) <= 0.18
+            AND round(least(coalesce(d5 / n_chars, 0.0), 1.0), 6) <= 0.15)
+               AS keep
+    FROM t LEFT JOIN wide USING (doc_id)
+    ORDER BY t.doc_id
+"""
+
+# PII redaction. DuckDB's RE2 has no negative lookahead, so the oracle
+# uses the lookahead-free email pattern; the welded identifiers never
+# end in a bad-TLD extension, so both patterns provably coincide on
+# this input (the lookahead behavior itself is pinned against the
+# reference by tests/test_reference_parity.py + tests/test_textstats_repetition.py).
+ORACLES["pii_redaction"] = r"""
+    WITH raw AS (
+        SELECT doc_id,
+               text || ' contact p' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or call +1 (555) 01'
+                    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                    || '-4567 now' AS raw
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(
+               raw, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(raw, '\+?\d[\d\s()\-]{6,}\d')) AS INT)
+               AS n_phones,
+           regexp_replace(
+               regexp_replace(
+                   raw, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                   '[EMAIL]', 'g'),
+               '\+?\d[\d\s()\-]{6,}\d', '[PHONE]', 'g') AS redacted
+    FROM raw ORDER BY doc_id
 """
