@@ -60,6 +60,7 @@ HEADLINE = [
     "cdx_surt_index",
     "repetition_scores",
     "pii_redaction",
+    "exact_substring_dedup_stats",
 ]
 
 

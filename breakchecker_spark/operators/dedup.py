@@ -562,3 +562,99 @@ def keep_canonical(
         F.col("id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------- exact substring dedup
+
+
+def exact_substring_windows(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(id, pos, whash) for every length-``window`` token window.
+
+    0-based ``pos``; the window grams reuse the O(n) ``zip_with`` chain
+    (see :func:`shingles`) but keep positions and duplicates — docs
+    shorter than ``window`` yield no rows at all.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = toks
+    for j in range(1, window):
+        grams = F.zip_with(
+            grams, F.slice(toks, j + 1, n), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    full = F.when(
+        n >= window, F.slice(grams, 1, n - window + 1)
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(full).alias("pos", "gram")
+    ).select("id", "pos", F.md5("gram").alias("whash"))
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide exact-substring dedup (Lee et al. 2022 ExactSubstr).
+
+    Every token covered by a ``window``-token window whose hash occurs
+    at least ``min_count`` times ANYWHERE in the corpus (other
+    documents or elsewhere in the same one) is removed; the surviving
+    tokens are re-joined in order. Returns one row per input document:
+    (doc_id, n_tokens, n_removed, dedup_text).
+
+    Fully relational scale path — no Python, no windows-over-everything:
+    window hashes shuffle on ``whash`` (high cardinality, md5-uniform,
+    skew-free) for the global duplicate census; covered positions and
+    the keep anti-join shuffle on (doc, pos). The text reassembly sorts
+    each doc's kept (pos, token) structs inside one aggregation buffer
+    (field-lexicographic ``array_sort``), so no per-doc window function
+    is ever planned. At 100 TB the duplicate-hash side is the small
+    relation (dups are rare) and AQE broadcasts it into the probe.
+    """
+    win = exact_substring_windows(df, id_col, text_col, window)
+    dup = (
+        win.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("whash")
+    )
+    covered = (
+        win.join(dup, "whash")
+        .select(
+            "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + window - 1)).alias("pos")
+        )
+        .distinct()
+    )
+    toks = _tokens(F.col(text_col))
+    tok_pos = df.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "token")
+    )
+    kept = tok_pos.join(covered, ["id", "pos"], "left_anti")
+    per_doc = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("dedup_text"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.size(toks).alias("n_tokens")
+    )
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+        )
+    )

@@ -381,6 +381,14 @@ def pii_redaction(spark, sf_dir):
     return pii.pii_stats(raw, text_col="raw").orderBy("doc_id")
 
 
+def exact_substring_dedup_stats(spark, sf_dir):
+    """Lee-et-al-style corpus-wide duplicated-substring removal."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_substring_dedup(docs, window=5, min_count=2).orderBy(
+        "doc_id"
+    )
+
+
 def ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     emb = emb.select(
@@ -1122,6 +1130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": quality_scores,
     "repetition_scores": repetition_scores,
     "pii_redaction": pii_redaction,
+    "exact_substring_dedup_stats": exact_substring_dedup_stats,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
@@ -1999,4 +2008,50 @@ ORACLES["pii_redaction"] = r"""
                    '[EMAIL]', 'g'),
                '\+?\d[\d\s()\-]{6,}\d', '[PHONE]', 'g') AS redacted
     FROM raw ORDER BY doc_id
+"""
+
+# Exact-substring dedup: identical window hashing (md5 over the
+# space-joined 5-token window), global >=2 census, covered-position
+# expansion, anti-join, ordered reassembly via string_agg.
+ORACLES["exact_substring_dedup_stats"] = r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents),
+    winf AS (
+        SELECT doc_id, struct_extract(w, 'pos') AS pos,
+               struct_extract(w, 'whash') AS whash
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         range(1, greatest(len(tk) - 4, 0) + 1),
+                         i -> struct_pack(
+                             pos := i - 1,
+                             whash := md5(array_to_string(tk[i:i+4], ' '))))) AS w
+              FROM t)),
+    dup AS (SELECT whash FROM winf GROUP BY whash HAVING count(*) >= 2),
+    covered AS (
+        SELECT DISTINCT doc_id, pos
+        FROM (SELECT winf.doc_id, unnest(range(winf.pos, winf.pos + 5)) AS pos
+              FROM winf JOIN dup USING (whash))),
+    tokf AS (
+        SELECT doc_id, struct_extract(s, 'pos') AS pos,
+               struct_extract(s, 'token') AS token
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         range(1, len(tk) + 1),
+                         i -> struct_pack(pos := i - 1, token := tk[i]))) AS s
+              FROM t)),
+    kept AS (
+        SELECT tokf.doc_id, tokf.pos, tokf.token
+        FROM tokf LEFT JOIN covered c
+          ON c.doc_id = tokf.doc_id AND c.pos = tokf.pos
+        WHERE c.doc_id IS NULL),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+               string_agg(token, ' ' ORDER BY pos) AS dedup_text
+        FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(tk) AS INT) AS n_tokens,
+           CAST(len(tk) - coalesce(n_kept, 0) AS INT) AS n_removed,
+           coalesce(dedup_text, '') AS dedup_text
+    FROM t LEFT JOIN per_doc USING (doc_id)
+    ORDER BY t.doc_id
 """
