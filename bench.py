@@ -61,6 +61,7 @@ HEADLINE = [
     "repetition_scores",
     "pii_redaction",
     "exact_substring_dedup_stats",
+    "corpus_curation_stats",
 ]
 
 

@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import schemas
-from .operators import dedup, pii, similarity, textstats
+from .operators import curate, dedup, pii, similarity, textstats
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -387,6 +387,12 @@ def exact_substring_dedup_stats(spark, sf_dir):
     return dedup.exact_substring_dedup(docs, window=5, min_count=2).orderBy(
         "doc_id"
     )
+
+
+def corpus_curation_stats(spark, sf_dir):
+    """The curation gates composed: dedup > quality > repetition > kept."""
+    docs = _t(spark, sf_dir, "documents")
+    return curate.curation_stats(docs).orderBy("lang")
 
 
 def ann_cosine_topk(spark, sf_dir):
@@ -1131,6 +1137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_scores": repetition_scores,
     "pii_redaction": pii_redaction,
     "exact_substring_dedup_stats": exact_substring_dedup_stats,
+    "corpus_curation_stats": corpus_curation_stats,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
@@ -2054,4 +2061,35 @@ ORACLES["exact_substring_dedup_stats"] = r"""
            coalesce(dedup_text, '') AS dedup_text
     FROM t LEFT JOIN per_doc USING (doc_id)
     ORDER BY t.doc_id
+"""
+
+# Curation pipeline: composes the already-oracled stages (content-hash
+# first-wins dedup, the quality_scores formula, the repetition_scores
+# CTE chain) with the same first-drop-wins verdict ladder, then a
+# per-language census. Subquery reuse keeps the three stage definitions
+# literally identical to their standalone oracle rows.
+ORACLES["corpus_curation_stats"] = f"""
+    WITH rep AS (SELECT doc_id, keep FROM ({ORACLES["repetition_scores"]})),
+    qual AS (SELECT doc_id, quality FROM ({ORACLES["quality_scores"]})),
+    firstw AS (SELECT md5(text) AS h, min(doc_id) AS first_id
+               FROM documents GROUP BY 1),
+    cls AS (
+        SELECT d.lang,
+               CASE WHEN d.doc_id <> f.first_id THEN 'duplicate'
+                    WHEN q.quality < 0.55 THEN 'low_quality'
+                    WHEN NOT r.keep THEN 'repetitive'
+                    ELSE 'kept' END AS verdict
+        FROM documents d
+        JOIN firstw f ON md5(d.text) = f.h
+        JOIN qual q USING (doc_id)
+        JOIN rep r USING (doc_id))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (verdict = 'kept') AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (verdict = 'duplicate') AS BIGINT) AS n_dup,
+           CAST(count(*) FILTER (verdict = 'low_quality') AS BIGINT)
+               AS n_low_quality,
+           CAST(count(*) FILTER (verdict = 'repetitive') AS BIGINT)
+               AS n_repetitive
+    FROM cls GROUP BY lang ORDER BY lang
 """

@@ -1,0 +1,72 @@
+"""Curation pipeline: verdict ladder, stats census, kept-corpus filter."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from breakchecker_spark.operators.curate import (
+    curated_corpus,
+    curation_stats,
+    curation_verdicts,
+)
+
+GOOD = (
+    "the quick brown fox jumps over a lazy dog and the rain in spain "
+    "stays mainly on the plain with many varied different words used"
+)
+DOCS = [
+    (1, GOOD, "en"),
+    (2, GOOD, "en"),  # byte-identical: duplicate outranks everything later
+    (3, "zq", "en"),  # two chars: length saturation sinks the quality score
+    # long, alpha-heavy, stopword-rich (quality ~0.93) — only the
+    # repetition gate can catch it
+    (4, ("the cat sat on the mat " * 50).strip(), "en"),
+    (5, GOOD + " extra tail", "fr"),
+]
+
+
+@pytest.fixture(scope="module")
+def verdicts(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    rows = curation_verdicts(df).collect()
+    return {r["doc_id"]: r["verdict"] for r in rows}
+
+
+def test_verdict_ladder(verdicts):
+    assert verdicts[1] == "kept"
+    assert verdicts[2] == "duplicate"  # dedup outranks every later stage
+    assert verdicts[3] == "low_quality"
+    assert verdicts[4] == "repetitive"
+    assert verdicts[5] == "kept"
+
+
+def test_stats_census(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    stats = {r["lang"]: r for r in curation_stats(df).collect()}
+    en = stats["en"]
+    assert (en["n_docs"], en["n_kept"], en["n_dup"]) == (4, 1, 1)
+    assert (en["n_low_quality"], en["n_repetitive"]) == (1, 1)
+    assert stats["fr"]["n_kept"] == 1
+
+
+def test_curated_corpus_keeps_only_survivors(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    kept = curated_corpus(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 5]
+    # original columns survive the semi-join untouched
+    assert kept.columns == df.columns
+
+
+def test_threshold_is_tunable(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    rows = curation_verdicts(df, quality_threshold=0.0).collect()
+    v = {r["doc_id"]: r["verdict"] for r in rows}
+    assert v[3] == "kept"  # the short doc passes once the bar is gone
+
+
+def test_repetitive_doc_really_trips_gopher(spark):
+    # guard the fixture itself: doc 4's top-2-gram fraction is ~1.0
+    df = spark.createDataFrame([DOCS[3]], "doc_id long, text string, lang string")
+    from breakchecker_spark.operators.textstats import repetition_stats
+
+    r = repetition_stats(df).collect()[0]
+    assert r["top2_frac"] > 0.2 and r["keep"] is False
