@@ -70,3 +70,30 @@ def test_repetitive_doc_really_trips_gopher(spark):
 
     r = repetition_stats(df).collect()[0]
     assert r["top2_frac"] > 0.2 and r["keep"] is False
+
+
+def test_curate_cli_end_to_end(spark, tmp_path):
+    from breakchecker_spark import curate_cli
+
+    out = tmp_path / "curated"
+    stats = tmp_path / "stats.json"
+    rc = curate_cli.main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(out),
+            "--stats", str(stats),
+            "--redact",
+        ]
+    )
+    assert rc == 0
+    import json
+
+    census = json.load(open(stats))
+    kept = spark.read.parquet(str(out))
+    assert kept.count() == sum(r["n_kept"] for r in census)
+    assert sum(r["n_docs"] for r in census) == 500
+    # schema passes through unchanged
+    src_cols = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).columns
+    assert kept.columns == src_cols
