@@ -60,3 +60,41 @@ def test_every_doc_surfaces_exactly_once(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     out = exact_substring_dedup(df, window=5, min_count=2)
     assert sorted(r["doc_id"] for r in out.collect()) == [d for d, _ in DOCS]
+
+
+def test_randomized_corpus_matches_python_reference(spark):
+    """Seeded random corpus vs a direct pure-Python implementation."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(100)
+    ]
+    W, MIN = 4, 2
+
+    # python reference: global window census, covered positions, rejoin
+    from collections import Counter
+
+    toks = {i: t.lower().strip().split() if t.strip() else [""] for i, t in docs}
+    census = Counter(
+        " ".join(tk[p : p + W])
+        for tk in toks.values()
+        for p in range(len(tk) - W + 1)
+    )
+    expected = {}
+    for i, tk in toks.items():
+        covered = set()
+        for p in range(len(tk) - W + 1):
+            if census[" ".join(tk[p : p + W])] >= MIN:
+                covered.update(range(p, p + W))
+        kept = [t for p, t in enumerate(tk) if p not in covered]
+        expected[i] = (len(tk), len(tk) - len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["dedup_text"])
+        for r in exact_substring_dedup(df, window=W, min_count=MIN).collect()
+    }
+    assert got == expected

@@ -108,3 +108,42 @@ def test_pii_stats_counts(spark):
     row = pii.pii_stats(df).collect()[0]
     assert (row["n_emails"], row["n_phones"]) == (2, 1)
     assert row["redacted"] == "[EMAIL] and [EMAIL] or [PHONE] x"
+
+
+def test_randomized_corpus_matches_python_reference(spark):
+    """Seeded random corpus vs a direct pure-Python implementation."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(99)
+    vocab = [f"t{i}" for i in range(8)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(80)
+    ]
+
+    def py_metrics(text):
+        tk = text.lower().strip().split() if text.strip() else [""]
+        n_chars = len(text)
+        out = {}
+        for n, kind in [(2, "top"), (3, "top"), (5, "dup")]:
+            grams = [" ".join(tk[p : p + n]) for p in range(len(tk) - n + 1)]
+            c = Counter(grams)
+            if kind == "top":
+                # engine tie rule: max over (cnt, cnt*len) lexicographic
+                chars = max(
+                    ((cnt, cnt * len(g)) for g, cnt in c.items()),
+                    default=(0, 0),
+                )[1]
+            else:
+                chars = sum((cnt - 1) * len(g) for g, cnt in c.items() if cnt > 1)
+            frac = min(chars / n_chars, 1.0) if n_chars else 0.0
+            out[f"{kind}{n}_frac"] = round(frac, 6)
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = repetition_stats(df).collect()
+    for r in rows:
+        exp = py_metrics(dict(docs)[r["doc_id"]])
+        for k, v in exp.items():
+            assert r[k] == pytest.approx(v, abs=1e-9), (r["doc_id"], k)
