@@ -355,7 +355,13 @@ def quality_scores(spark, sf_dir):
 
 def repetition_scores(spark, sf_dir):
     """Gopher-style repetition quality filters over token n-grams."""
-    docs = _t(spark, sf_dir, "documents")
+    # repartition before the explode-heavy map stage: the sf tables are
+    # single parquet files, and one input task would serialize the
+    # n-gram build (measured 12.6 s -> ~2 s at sf0.1; same pathology as
+    # minhash_signatures)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return textstats.repetition_stats(docs).orderBy("doc_id")
 
 
@@ -383,7 +389,9 @@ def pii_redaction(spark, sf_dir):
 
 def exact_substring_dedup_stats(spark, sf_dir):
     """Lee-et-al-style corpus-wide duplicated-substring removal."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return dedup.exact_substring_dedup(docs, window=5, min_count=2).orderBy(
         "doc_id"
     )
@@ -391,7 +399,9 @@ def exact_substring_dedup_stats(spark, sf_dir):
 
 def corpus_curation_stats(spark, sf_dir):
     """The curation gates composed: dedup > quality > repetition > kept."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return curate.curation_stats(docs).orderBy("lang")
 
 
