@@ -62,6 +62,7 @@ HEADLINE = [
     "pii_redaction",
     "exact_substring_dedup_stats",
     "corpus_curation_stats",
+    "domain_capped_sample",
 ]
 
 

