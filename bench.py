@@ -55,6 +55,7 @@ HEADLINE = [
     "render_fallback_pass",
     "neardup_component_clusters",
     "warc_roundtrip_records",
+    "wet_roundtrip_records",
     "sitemap_seed_extract",
     "boilerplate_main_text",
     "cdx_surt_index",

@@ -777,6 +777,42 @@ def warc_roundtrip_records(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def wet_roundtrip_records(spark, sf_dir):
+    """WET sink under the hash gate: the documents table is exported
+    as real WET files (WARC 1.0 ``conversion`` records with
+    ``WARC-Refers-To`` back-references, ``sources/wet.py``), then
+    re-read by the same distributed WARC parser. The oracle recomputes
+    each record's URL, payload length, and payload sha256 from the
+    source table."""
+    import tempfile
+
+    from .sources import wet as wet_mod
+    from .sources import warc as warc_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    wet_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://wet.example/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    out_dir = tempfile.mkdtemp(prefix="bc_wet_rt_")
+    wet_mod.write_wet(wet_docs, out_dir, n_files=8).collect()
+    recs = warc_mod.read_warc(spark, out_dir).filter(
+        F.col("rec_type") == "conversion"
+    )
+    return recs.select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        F.length("payload").cast("long").alias("payload_len"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    ).orderBy("doc_id")
+
+
 def sitemap_seed_extract(spark, sf_dir):
     """Sitemap ingestion under the hash gate: documents are rendered
     into 8 deterministic ``urlset`` sitemaps (escaped ``&amp;`` in
@@ -1169,6 +1205,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "render_fallback_pass": render_fallback_pass,
     "neardup_component_clusters": neardup_component_clusters,
     "warc_roundtrip_records": warc_roundtrip_records,
+    "wet_roundtrip_records": wet_roundtrip_records,
     "sitemap_seed_extract": sitemap_seed_extract,
     "boilerplate_main_text": boilerplate_main_text,
     "cdx_surt_index": cdx_surt_index,
@@ -2132,4 +2169,16 @@ ORACLES["domain_capped_sample"] = r"""
         FROM pre)
     SELECT source, doc_id, CAST(rk AS INT) AS rk
     FROM rk WHERE rk <= 10 ORDER BY source, rk
+"""
+
+# WET round-trip: conversion records carry the raw text payload (no
+# HTTP envelope), so length/sha come straight off the source text.
+ORACLES["wet_roundtrip_records"] = """
+    SELECT doc_id,
+           'https://wet.example/' || lang || '/' || CAST(doc_id AS VARCHAR)
+               AS url,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+           sha256(text) AS payload_sha
+    FROM documents
+    ORDER BY doc_id
 """
