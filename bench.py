@@ -64,6 +64,10 @@ HEADLINE = [
     "exact_substring_dedup_stats",
     "corpus_curation_stats",
     "domain_capped_sample",
+    "anchor_text_topk",
+    "pagerank_scores",
+    "recrawl_delta_schedule",
+    "tfidf_top_terms",
 ]
 
 

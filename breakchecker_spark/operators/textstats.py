@@ -257,3 +257,57 @@ def repetition_stats(
     for n in dup_ns:
         keep = keep & (F.col(f"dup{n}_frac") <= F.lit(GOPHER_DUP_THRESHOLDS[n]))
     return out.withColumn("keep", keep)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document → (doc_id, term, tfidf, rank).
+
+    Same tokenizer as :func:`repetition_stats` (lower, trim, split on
+    runs of whitespace).  Score = tf × ln(N/df) with raw counts; ranked
+    per document by the score ROUNDED to 6 decimals, descending, then
+    term ascending — the rounding makes the ordering reproducible
+    across engines whose ``ln`` differs in the last ulp.
+
+    Scale path: one explode, two hash aggregations (both with map-side
+    partials), one term-keyed join to attach df, and one per-document
+    window for the top-k — the window partitions on doc_id (no global
+    sort).  The document-frequency table is typically vocabulary-sized;
+    AQE broadcasts it when small and falls back to a shuffle join at
+    corpus scale.  N (corpus size) is attached as a broadcast 1-row
+    aggregate, not a driver scalar.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

@@ -2182,3 +2182,259 @@ ORACLES["wet_roundtrip_records"] = """
     FROM documents
     ORDER BY doc_id
 """
+
+
+# =====================================================================
+# Web-graph analytics over the crawl's link structure (round 5):
+# anchor-text aggregation, PageRank, recrawl deltas, TF-IDF terms.
+# =====================================================================
+
+_WG_HOST = "https://anchors.example"
+
+
+def anchor_text_topk(spark, sf_dir):
+    """Anchor-text aggregation under the hash gate: pages synthesized
+    from ``documents`` carry three absolute/relative ``<a>`` links with
+    formula-derived anchor texts plus a mailto link (which must NOT
+    become a graph edge); ``webgraph.link_edges`` harvests them with
+    the real HTML parser + urljoin resolution, and
+    ``webgraph.anchor_stats`` aggregates per-target in-link counts,
+    distinct-anchor counts, and the most common anchor. The oracle
+    recomputes every edge arithmetically — a parser miss, an
+    unresolved relative href, a kept mailto edge, or a wrong tie-break
+    fails the hash."""
+    from .operators import webgraph
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # fixture-construction scalar, not part of the op
+    did = F.col("doc_id").cast("long")
+
+    def _a(dst_expr, anchor_expr, absolute=True):
+        href = F.concat(F.lit("/p" if not absolute else f"{_WG_HOST}/p"),
+                        dst_expr.cast("string"))
+        return F.concat(F.lit('<a href="'), href, F.lit('">'),
+                        anchor_expr, F.lit("</a>"))
+
+    anchor = lambda e: F.concat(F.lit("a"), e.cast("string"))
+    html = F.concat(
+        F.lit("<html><body>"),
+        _a((did * 7 + 1) % n, anchor(did % 13)),
+        _a((did * 3 + 2) % n, anchor((did + 5) % 13)),
+        # relative href: resolves against the page url via urljoin
+        _a((did * 5 + 3) % n, anchor((did * 3 + 1) % 13), absolute=False),
+        F.lit('<a href="mailto:x@example.com">mail</a>'),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit(f"{_WG_HOST}/p"), did.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    edges = webgraph.link_edges(pages)
+    return webgraph.anchor_stats(edges).orderBy("dst")
+
+
+def pagerank_scores(spark, sf_dir):
+    """Fixed-iteration PageRank under the hash gate: the BFS fixture's
+    link formulas plus a dangling sink node (every ``doc_id % 97 == 0``
+    page links to node N, which has no out-edges — exercising the
+    dangling-mass redistribution). The oracle unrolls the same five
+    power iterations as chained CTEs; a wrong dangling share, a missed
+    multi-edge, or a broken teleport constant fails the hash. Output is
+    the size-normalized rank (mean 1.0) rounded to 6 decimals on both
+    sides."""
+    from .operators import webgraph
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # fixture-construction scalar, not part of the op
+    did = F.col("doc_id").cast("long")
+    e3 = docs.select(
+        did.alias("src"),
+        F.explode(
+            F.array((did * 7 + 1) % n, (did * 3 + 2) % n, (did * 5 + 3) % n)
+        ).alias("dst"),
+    )
+    sink = docs.filter(did % 97 == 0).select(
+        did.alias("src"), F.lit(n).cast("long").alias("dst")
+    )
+    pr = webgraph.pagerank(e3.unionByName(sink), iterations=5, damping=0.85)
+    return pr.select(
+        F.col("id").cast("long").alias("id"),
+        F.round(F.col("rank") * F.lit(float(n + 1)), 6).alias("pr_norm"),
+    ).orderBy("id")
+
+
+def recrawl_delta_schedule(spark, sf_dir):
+    """Recrawl scheduling under the hash gate: two content-fingerprint
+    snapshots synthesized from ``documents`` (every 11th URL vanishes,
+    every 7th changes content, every 13th doc spawns a new URL) run
+    through the real full-outer ``snapshot_delta`` and
+    ``recrawl_priority`` operators. The oracle recomputes the delta
+    arithmetically — a wrong join side, a misclassified status, or a
+    wrong priority tier fails the hash."""
+    from .operators import webgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    url = F.concat(F.lit("https://re.example/p"), did.cast("string"))
+    snap_a = docs.select(url.alias("url"), F.md5(F.col("text")).alias("fingerprint"))
+    snap_b = docs.filter(did % 11 != 0).select(
+        url.alias("url"),
+        F.when(did % 7 == 0, F.md5(F.concat(F.col("text"), F.lit("!"))))
+        .otherwise(F.md5(F.col("text")))
+        .alias("fingerprint"),
+    ).unionByName(
+        docs.filter(did % 13 == 0).select(
+            F.concat(F.lit("https://re.example/new"), did.cast("string")).alias(
+                "url"
+            ),
+            F.md5(F.concat(F.lit("new:"), did.cast("string"))).alias(
+                "fingerprint"
+            ),
+        )
+    )
+    delta = webgraph.snapshot_delta(snap_a, snap_b)
+    pri = webgraph.recrawl_priority(delta).select("url", "priority")
+    return delta.join(pri, "url", "left").orderBy("url")
+
+
+def tfidf_top_terms_q(spark, sf_dir):
+    """Per-document TF-IDF top terms over the real ``documents`` text:
+    the engine's canonical tokenizer, tf × ln(N/df) scoring, and a
+    per-document window ranked on the ROUNDED score (so last-ulp ln
+    differences between engines cannot flip the order). The oracle is
+    the same window over the same arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.tfidf_top_terms(docs, top_k=3).orderBy("doc_id", "rank")
+
+
+QUERIES["anchor_text_topk"] = anchor_text_topk
+QUERIES["pagerank_scores"] = pagerank_scores
+QUERIES["recrawl_delta_schedule"] = recrawl_delta_schedule
+QUERIES["tfidf_top_terms"] = tfidf_top_terms_q
+
+ORACLES["anchor_text_topk"] = """
+    WITH cnt AS (SELECT count(*) AS n FROM documents),
+    links AS (
+        SELECT 'https://anchors.example/p'
+                   || CAST((doc_id*7+1) % (SELECT n FROM cnt) AS VARCHAR) AS dst,
+               'a' || CAST(doc_id % 13 AS VARCHAR) AS anchor FROM documents
+        UNION ALL
+        SELECT 'https://anchors.example/p'
+                   || CAST((doc_id*3+2) % (SELECT n FROM cnt) AS VARCHAR),
+               'a' || CAST((doc_id+5) % 13 AS VARCHAR) FROM documents
+        UNION ALL
+        SELECT 'https://anchors.example/p'
+                   || CAST((doc_id*5+3) % (SELECT n FROM cnt) AS VARCHAR),
+               'a' || CAST((doc_id*3+1) % 13 AS VARCHAR) FROM documents),
+    per AS (SELECT dst, anchor, count(*) AS cnt FROM links GROUP BY 1, 2)
+    SELECT dst,
+           CAST(sum(cnt) AS BIGINT) AS in_links,
+           CAST(count(*) AS BIGINT) AS distinct_anchors,
+           (max({'cnt': cnt, 'anchor': anchor})).anchor AS top_anchor
+    FROM per GROUP BY dst ORDER BY dst
+"""
+
+ORACLES["recrawl_delta_schedule"] = """
+    WITH a AS (
+        SELECT 'https://re.example/p' || CAST(doc_id AS VARCHAR) AS url,
+               md5(text) AS fp FROM documents),
+    b AS (
+        SELECT 'https://re.example/p' || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN doc_id % 7 = 0 THEN md5(text || '!')
+                    ELSE md5(text) END AS fp
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT 'https://re.example/new' || CAST(doc_id AS VARCHAR),
+               md5('new:' || CAST(doc_id AS VARCHAR))
+        FROM documents WHERE doc_id % 13 = 0),
+    d AS (
+        SELECT coalesce(a.url, b.url) AS url,
+               CASE WHEN a.url IS NULL THEN 'new'
+                    WHEN b.url IS NULL THEN 'gone'
+                    WHEN a.fp = b.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM a FULL OUTER JOIN b ON a.url = b.url)
+    SELECT url, status,
+           CAST(CASE WHEN status = 'changed' THEN 0
+                     WHEN status = 'new' THEN 1
+                     WHEN status = 'unchanged' THEN 2 END AS INT) AS priority
+    FROM d ORDER BY url
+"""
+
+ORACLES["tfidf_top_terms"] = r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term <> '' GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term,
+               round(tf * ln((SELECT n_docs FROM nd) / df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term)),
+    rk AS (SELECT doc_id, term, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term ASC) AS rank
+           FROM scored)
+    SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unroll the power iteration as chained CTEs (DuckDB's recursive
+    CTEs forbid aggregation in the recursive term, so a fixed-depth
+    chain is the faithful SQL expression). ``0.85e0`` forces double
+    literals so both engines compute the identical IEEE teleport
+    constant."""
+    parts = [
+        "WITH cnt AS (SELECT count(*) AS n FROM documents)",
+        """edges AS (
+        SELECT CAST(doc_id AS BIGINT) AS src,
+               CAST((doc_id*7+1) % (SELECT n FROM cnt) AS BIGINT) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, CAST((doc_id*3+2) % (SELECT n FROM cnt) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT doc_id, CAST((doc_id*5+3) % (SELECT n FROM cnt) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT doc_id, CAST((SELECT n FROM cnt) AS BIGINT)
+        FROM documents WHERE doc_id % 97 = 0)""",
+        """nodes AS (SELECT DISTINCT id FROM
+        (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))""",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        """deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS out_deg
+        FROM edges GROUP BY src)""",
+        "r0 AS (SELECT id, 1.0e0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f"""d{p} AS (SELECT coalesce(sum(rank), 0.0e0) AS dm FROM r{p}
+        WHERE id NOT IN (SELECT src FROM deg))"""
+        )
+        parts.append(
+            f"""c{k} AS (SELECT e.dst AS id, sum(r.rank / deg.out_deg) AS c
+        FROM edges e JOIN r{p} r ON e.src = r.id
+        JOIN deg ON deg.src = e.src GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""r{k} AS (SELECT nodes.id,
+        (1.0e0 - 0.85e0) / (SELECT n FROM nn)
+          + 0.85e0 * (coalesce(c.c, 0.0e0)
+                      + (SELECT dm FROM d{p}) / (SELECT n FROM nn)) AS rank
+        FROM nodes LEFT JOIN c{k} c ON nodes.id = c.id)"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(id AS BIGINT) AS id,
+           round(rank * (SELECT n FROM nn), 6) AS pr_norm
+    FROM r{iterations} ORDER BY id"""
+    )
+
+
+ORACLES["pagerank_scores"] = _pagerank_oracle_sql(5)
