@@ -129,16 +129,22 @@ def pagerank(
 
     The edge list is hash-partitioned by ``src`` once and persisted;
     each iteration shuffles only the (id, rank) table into that
-    partitioning.  The dangling aggregate is a broadcast 1-row cross
-    join, not a driver collect, so the loop stays fully distributed.
+    partitioning.  Whether a node is dangling is STATIC, so it is
+    computed once into the persisted nodes table; the per-iteration
+    dangling mass is then a pure aggregate over the checkpointed rank
+    table (no join, no driver collect) attached as a broadcast 1-row
+    cross join.  ``localCheckpoint`` after every iteration keeps each
+    round a single flat job whose inputs are all materialized RDDs.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
+        .join(deg.withColumnRenamed("src", "id"), "id", "left")
+        .select("id", F.col("out_deg").isNull().alias("dang"))
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     spark = edges.sparkSession
     par = spark.sparkContext.defaultParallelism
     adj = e.join(deg, "src").repartition(par, "src").persist()
@@ -149,13 +155,18 @@ def pagerank(
         nodes.unpersist()
         return nodes.select("id", F.lit(0.0).alias("rank"))
 
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    ranks = nodes.select("id", "dang", F.lit(1.0 / n).alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iterations):
-        dangling = ranks.join(
-            deg.withColumnRenamed("src", "id"), "id", "left_anti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dang"), F.col("rank"))), F.lit(0.0)
+            ).alias("dm")
+        )
         contrib = (
-            adj.join(ranks.withColumnRenamed("id", "src"), "src")
+            adj.join(
+                ranks.select(F.col("id").alias("src"), "rank"), "src"
+            )
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
@@ -165,6 +176,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
+                "dang",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -178,7 +190,7 @@ def pagerank(
         )
     adj.unpersist()
     nodes.unpersist()
-    return ranks
+    return ranks.select("id", "rank")
 
 
 def snapshot_delta(

@@ -25,6 +25,11 @@ SF = "/root/testdata/sf0.001"
 # recall queries that compare a bucketed ANN variant against it
 BNLJ_ALLOWED = {"ann_cosine_topk", "ivf_topk_recall", "lsh_topk_recall"}
 
+# 1-row broadcast scalar attaches (crossJoin(broadcast(1-row agg))):
+# a nested-loop join against a single broadcast row is O(rows) work —
+# the distributed alternative to a driver-side collect of the scalar
+SCALAR_BNLJ = {"tfidf_top_terms"}
+
 PLANNED = sorted(n for n in Q.QUERIES if not n.startswith("crawl_"))
 
 
@@ -49,7 +54,8 @@ def test_nested_loop_joins_only_in_exact_baselines(plans):
     offenders = [
         n
         for n, p in plans.items()
-        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED
+        if "BroadcastNestedLoopJoin" in p
+        and n not in BNLJ_ALLOWED | SCALAR_BNLJ
     ]
     assert offenders == []
     # and the baselines themselves broadcast the small (query) side —
@@ -90,3 +96,22 @@ def test_scans_are_columnar_batched(plans):
     (e.g. an accidental per-row UDF above the scan) shows up here."""
     for name in ("token_count_stats", "lang_id_pred", "quality_scores"):
         assert "Batched: true" in plans[name], name
+
+
+def test_webgraph_scans_prune_unused_document_columns(plans):
+    """The web-graph queries project documents down to (doc_id, text)
+    before anything heavy; a scan that drags n_chars/lang along would
+    widen every downstream exchange at corpus scale."""
+    for name in ("tfidf_top_terms", "recrawl_delta_schedule", "anchor_text_topk"):
+        p = plans[name]
+        assert "n_chars" not in p, name
+        assert "lang" not in p, name
+
+
+def test_pagerank_lineage_is_truncated(plans):
+    """The pagerank query's final plan must read a checkpointed RDD —
+    a 5-iteration join chain surviving into the plan means the
+    localCheckpoint lineage truncation silently stopped working."""
+    p = plans["pagerank_scores"]
+    assert "ExistingRDD" in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
