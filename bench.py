@@ -68,6 +68,7 @@ HEADLINE = [
     "pagerank_scores",
     "recrawl_delta_schedule",
     "tfidf_top_terms",
+    "trigram_lm_scores",
 ]
 
 

@@ -311,3 +311,103 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_k)
         .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# --------------------------------------------------------------- char LM
+
+# CASE guards: sequence(1, 0) DESCENDS in Spark ([1, 0]), so a doc
+# shorter than the n-gram must yield an empty array explicitly — the
+# same pitfall ngram_strings documents for token n-grams.
+_CHAR_TRIGRAMS = (
+    "CASE WHEN length({t}) >= 3 THEN"
+    " transform(sequence(1, length({t}) - 2), i -> substr({t}, i, 3))"
+    " ELSE array() END"
+)
+_CHARS = (
+    "CASE WHEN length({t}) >= 1 THEN"
+    " transform(sequence(1, length({t})), i -> substr({t}, i, 1))"
+    " ELSE array() END"
+)
+
+
+def trigram_lm_train(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Train an add-one-smoothed character-trigram LM on a corpus →
+    ``(model, vocab)``.
+
+    ``model`` is (tri, logp) with ``p(c3|c1c2) = (n3+1)/(n2+V)`` where
+    ``n3``/``n2`` are trigram/bigram-context counts and ``V`` the
+    corpus alphabet size; ``vocab`` is the 1-row (v) alphabet-size
+    table, needed by :func:`trigram_lm_score` for unseen-trigram
+    backoff.  This is the CCNet-style LM-quality-filter shape with the
+    KenLM dependency replaced by a distributed in-corpus model: counts
+    are two map-side-partial hash aggregations, the n3⋈n2 join is
+    keyed on the 2-char context (AQE broadcasts the context table when
+    small), and the alphabet size is a broadcast 1-row aggregate —
+    nothing touches the driver.
+
+    Text is lowercased first; trigram extraction is a pure-Catalyst
+    substring transform (no Python, no regex).
+    """
+    t = df.select(F.lower(F.col(text_col)).alias("t"))
+    tris = t.select(
+        F.explode(F.expr(_CHAR_TRIGRAMS.format(t="t"))).alias("tri")
+    )
+    n3 = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("n3"))
+    n2 = n3.groupBy(F.substring("tri", 1, 2).alias("ctx")).agg(
+        F.sum("n3").alias("n2")
+    )
+    vocab = t.select(
+        F.explode(F.expr(_CHARS.format(t="t"))).alias("ch")
+    ).agg(F.count_distinct("ch").cast("double").alias("v"))
+    model = (
+        n3.withColumn("ctx", F.substring("tri", 1, 2))
+        .join(n2, "ctx")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "tri",
+            F.log((F.col("n3") + F.lit(1.0)) / (F.col("n2") + F.col("v"))).alias(
+                "logp"
+            ),
+        )
+    )
+    return model, vocab
+
+
+def trigram_lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a trigram LM → (doc_id, n_trigrams,
+    neg_logp) where ``neg_logp`` is the mean −ln p per trigram (the
+    log-perplexity; lower = more natural under the model).
+
+    Trigrams absent from the model back off to ``p = 1/V`` (an unseen
+    context under add-one smoothing).  Documents shorter than 3 chars
+    have no trigrams and produce no row — mirror of the SQL oracle.
+    One explode, one model join (broadcast under AQE when the model is
+    small, shuffle at corpus scale), one per-doc aggregation.
+    """
+    tris = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(_CHAR_TRIGRAMS.format(t=f"lower({text_col})"))
+        ).alias("tri"),
+    )
+    return (
+        tris.join(model, "tri", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("logp"), -F.log(F.col("v"))).alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(-F.avg("lp"), 6).alias("neg_logp"),
+        )
+    )

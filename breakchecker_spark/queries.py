@@ -2438,3 +2438,46 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 
 ORACLES["pagerank_scores"] = _pagerank_oracle_sql(5)
+
+
+def trigram_lm_scores(spark, sf_dir):
+    """CCNet-style LM quality filter under the hash gate: an add-one-
+    smoothed character-trigram LM trained distributed on ``documents``
+    (two hash aggs + a context join + a broadcast alphabet scalar),
+    then every document scored by mean −ln p per trigram with ONE
+    model join. The oracle retrains and rescores the identical model
+    in SQL — a wrong smoothing denominator, a lost short-doc guard, or
+    a broken context join fails the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    model, vocab = textstats.trigram_lm_train(docs)
+    return textstats.trigram_lm_score(docs, model, vocab).orderBy("doc_id")
+
+
+QUERIES["trigram_lm_scores"] = trigram_lm_scores
+
+ORACLES["trigram_lm_scores"] = r"""
+    WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+    tris AS (
+        SELECT doc_id,
+               unnest(CASE WHEN length(t) >= 3 THEN
+                   list_transform(range(1, length(t) - 1),
+                                  i -> substr(t, i, 3))
+                   ELSE [] END) AS tri
+        FROM t),
+    n3 AS (SELECT tri, count(*) AS n3 FROM tris GROUP BY tri),
+    n2 AS (SELECT substr(tri, 1, 2) AS ctx, sum(n3) AS n2
+           FROM n3 GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT ch) AS DOUBLE) AS v FROM (
+        SELECT unnest(CASE WHEN length(t) >= 1 THEN
+            list_transform(range(1, length(t) + 1), i -> substr(t, i, 1))
+            ELSE [] END) AS ch FROM t)),
+    model AS (
+        SELECT tri, ln((n3 + 1.0) / (n2 + (SELECT v FROM v))) AS logp
+        FROM n3 JOIN n2 ON substr(n3.tri, 1, 2) = n2.ctx),
+    scored AS (
+        SELECT doc_id, coalesce(logp, -ln((SELECT v FROM v))) AS lp
+        FROM tris LEFT JOIN model USING (tri))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(-avg(lp), 6) AS neg_logp
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+"""

@@ -147,3 +147,57 @@ def test_randomized_corpus_matches_python_reference(spark):
         exp = py_metrics(dict(docs)[r["doc_id"]])
         for k, v in exp.items():
             assert r[k] == pytest.approx(v, abs=1e-9), (r["doc_id"], k)
+
+
+# ----------------------------------------------------------- trigram LM
+
+
+def test_trigram_lm_hand_example(spark):
+    from breakchecker_spark.operators.textstats import (
+        trigram_lm_score,
+        trigram_lm_train,
+    )
+
+    # corpus alphabet {a,b} → V=2; "abab" has trigrams aba, bab (1×
+    # each); contexts ab, ba (1× each) → p = (1+1)/(1+2) = 2/3 both.
+    # "ab" is too short for any trigram and must produce no row.
+    df = spark.createDataFrame(
+        [(0, "abab"), (1, "ab")], "doc_id long, text string"
+    )
+    model, vocab = trigram_lm_train(df)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["neg_logp"])
+        for r in trigram_lm_score(df, model, vocab).collect()
+    }
+    import math
+
+    assert got == {0: (2, round(math.log(1.5), 6))}
+    # the model itself: both trigrams at ln(2/3)
+    m = {r["tri"]: r["logp"] for r in model.collect()}
+    assert set(m) == {"aba", "bab"}
+    for lp in m.values():
+        assert lp == pytest.approx(math.log(2 / 3))
+
+
+def test_trigram_lm_unseen_backoff_and_case_fold(spark):
+    from breakchecker_spark.operators.textstats import (
+        trigram_lm_score,
+        trigram_lm_train,
+    )
+    import math
+
+    train = spark.createDataFrame([(0, "abab")], "doc_id long, text string")
+    model, vocab = trigram_lm_train(train)
+    # "XYZ" lowercases then misses the model entirely → every trigram
+    # backs off to p = 1/V with V = 2; "ABA" case-folds onto a seen one
+    held_out = spark.createDataFrame(
+        [(7, "XYZ"), (8, "ABA")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["neg_logp"])
+        for r in trigram_lm_score(held_out, model, vocab).collect()
+    }
+    assert got == {
+        7: (1, round(math.log(2), 6)),
+        8: (1, round(-math.log(2 / 3), 6)),
+    }
