@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import schemas
-from .operators import curate, dedup, pii, similarity, textstats
+from .operators import curate, dedup, pii, similarity, sketches, textstats
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2480,4 +2480,162 @@ ORACLES["trigram_lm_scores"] = r"""
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
            round(-avg(lp), 6) AS neg_logp
     FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# =====================================================================
+# Mergeable sketches (operators/sketches.py): the telemetry the
+# reference gets from exact in-memory sets (break_checker.py
+# run_crawl's visited/len counters) recast as bounded-shuffle
+# aggregations for the 10^10-URL frontier.
+# =====================================================================
+
+
+def hll_distinct_tokens(spark, sf_dir):
+    """Per-language distinct-token cardinality: HLL estimate beside
+    the exact answer. The register table shuffles at most 1024 rows
+    per language after the map-side max-combine — the 100 TB shape —
+    while the exact count (the expensive full-token shuffle) rides
+    along only to expose the sketch error under the hash gate: the
+    oracle rebuilds the identical md5-derived registers in SQL, so a
+    wrong rho, a lost zero-register correction, or a broken merge
+    fails the hash, not just the tolerance."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    regs = sketches.hll_registers(toks, ["lang"], "tok")
+    est = sketches.hll_estimate(regs, ["lang"])
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    return (
+        exact.join(est, "lang")
+        .select(
+            "lang",
+            "exact_distinct",
+            "n_zero_regs",
+            "hll_estimate",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("lang")
+    )
+
+
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-Min frequency estimates for the top-20 tokens by true
+    count. The d×w counter table (≤ 4096 rows regardless of corpus
+    size) partial-aggregates map-side and broadcasts for lookup; the
+    estimate is min over the d rows — a deterministic overestimate the
+    oracle reproduces counter-for-counter."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "token"
+        )
+    ).filter(F.col("token") != "")
+    table = sketches.cms_table(toks, "token")
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), "token")
+        .limit(20)
+    )
+    est = sketches.cms_lookup(table, top.select("token"), "token")
+    return top.join(est, "token").orderBy(F.desc("true_count"), "token")
+
+
+QUERIES["hll_distinct_tokens"] = hll_distinct_tokens
+QUERIES["cms_heavy_hitters"] = cms_heavy_hitters
+
+# Float discipline: _z1 = sum(1/2^rho) is dyadic-exact in doubles, the
+# alpha*m^2 constant is the same IEEE operation sequence both sides,
+# and the one libm ln() is rounded to 4 decimals — see sketches.py.
+ORACLES["hll_distinct_tokens"] = r"""
+    WITH toks AS (
+        SELECT lang,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents),
+    t AS (SELECT lang, tok FROM toks WHERE tok <> ''),
+    h AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS reg,
+               CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS w
+        FROM (SELECT DISTINCT lang, tok FROM t)),
+    r AS (
+        SELECT lang, reg,
+               max(33 - length(trim(LEADING '0' FROM lpad(bin(w), 32, '0'))))
+                   AS rho
+        FROM h GROUP BY lang, reg),
+    agg AS (
+        SELECT lang,
+               sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << rho)) AS z1,
+               1024 - count(*) AS n_zero_regs
+        FROM r GROUP BY lang),
+    est AS (
+        SELECT lang, n_zero_regs,
+               round(CASE WHEN (CAST(0.7213 AS DOUBLE)
+                                / (CAST(1 AS DOUBLE)
+                                   + CAST(1.079 AS DOUBLE)
+                                     / CAST(1024 AS DOUBLE)))
+                               * 1024 * 1024
+                               / (z1 + CAST(n_zero_regs AS DOUBLE))
+                              <= CAST(2560 AS DOUBLE)
+                          AND n_zero_regs > 0
+                     THEN CAST(1024 AS DOUBLE)
+                          * ln(CAST(1024 AS DOUBLE) / n_zero_regs)
+                     ELSE (CAST(0.7213 AS DOUBLE)
+                           / (CAST(1 AS DOUBLE)
+                              + CAST(1.079 AS DOUBLE) / CAST(1024 AS DOUBLE)))
+                          * 1024 * 1024
+                          / (z1 + CAST(n_zero_regs AS DOUBLE))
+                     END, 4) AS hll_estimate
+        FROM agg),
+    ex AS (SELECT lang, count(DISTINCT tok) AS exact_distinct
+           FROM t GROUP BY lang)
+    SELECT ex.lang, exact_distinct, n_zero_regs, hll_estimate,
+           round(abs(hll_estimate - exact_distinct)
+                 / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+    FROM ex JOIN est ON ex.lang = est.lang
+    ORDER BY ex.lang
+"""
+
+ORACLES["cms_heavy_hitters"] = r"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        FROM documents),
+    t AS (SELECT token FROM toks WHERE token <> ''),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row_i),
+    probes AS (
+        SELECT row_i,
+               CAST(('0x' || substr(md5(CAST(row_i AS VARCHAR) || ':' || token),
+                                    1, 8)) AS BIGINT) % 1024 AS bucket
+        FROM t CROSS JOIN rows_),
+    cms AS (SELECT row_i, bucket, count(*) AS cnt
+            FROM probes GROUP BY row_i, bucket),
+    top AS (SELECT token, count(*) AS true_count
+            FROM t GROUP BY token
+            ORDER BY true_count DESC, token LIMIT 20),
+    top_probes AS (
+        SELECT token, row_i,
+               CAST(('0x' || substr(md5(CAST(row_i AS VARCHAR) || ':' || token),
+                                    1, 8)) AS BIGINT) % 1024 AS bucket
+        FROM top CROSS JOIN rows_)
+    SELECT top.token, top.true_count, min(cms.cnt) AS cms_estimate
+    FROM top_probes
+    JOIN cms USING (row_i, bucket)
+    JOIN top USING (token)
+    GROUP BY top.token, top.true_count
+    ORDER BY top.true_count DESC, top.token
 """

@@ -27,8 +27,10 @@ BNLJ_ALLOWED = {"ann_cosine_topk", "ivf_topk_recall", "lsh_topk_recall"}
 
 # 1-row broadcast scalar attaches (crossJoin(broadcast(1-row agg))):
 # a nested-loop join against a single broadcast row is O(rows) work —
-# the distributed alternative to a driver-side collect of the scalar
-SCALAR_BNLJ = {"tfidf_top_terms"}
+# the distributed alternative to a driver-side collect of the scalar.
+# tfidf attaches the corpus doc count; trigram_lm attaches the
+# alphabet-size smoothing denominator.
+SCALAR_BNLJ = {"tfidf_top_terms", "trigram_lm_scores"}
 
 PLANNED = sorted(n for n in Q.QUERIES if not n.startswith("crawl_"))
 
