@@ -69,6 +69,8 @@ HEADLINE = [
     "recrawl_delta_schedule",
     "tfidf_top_terms",
     "trigram_lm_scores",
+    "hll_distinct_tokens",
+    "cms_heavy_hitters",
 ]
 
 
