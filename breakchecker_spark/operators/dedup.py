@@ -86,11 +86,6 @@ def distinct_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ------------------------------------------------- n-gram Jaccard
 
 
-# one-slot registry for jaccard_pairs' shingle cache when the caller
-# doesn't pass a cache_registry — see the unpersist note in the body
-_LAST_SH_CACHE: list = []
-
-
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -99,9 +94,14 @@ def jaccard_pairs(
     threshold: float = 0.5,
     broadcast_max_docs: int | None = 200_000,
     broadcast_max_shingles: int = 8_000_000,
-    cache_registry: list | None = None,
+    cache_registry: list | None = None,  # kept for API compat; r6 plans cache nothing
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via prefix-filtered candidate join.
+    """Exact Jaccard-similar pairs.
+
+    Two exact plans behind one size gate: a bounded corpus (both probe
+    thresholds pass) computes every co-occurring pair's overlap with a
+    direct shingle-keyed count-join (see the r6 note in the body); a
+    corpus-scale input takes the prefix-filtered candidate join below.
 
     The naive shingle self-join materializes Σ df(shingle)² rows — a
     shingle shared by 10⁶ docs alone yields ~10¹² join rows, which is
@@ -133,16 +133,15 @@ def jaccard_pairs(
     shingle, df) row globally per partition, while the aggregate sorts
     each doc's (small) array after a hash shuffle (r2 verdict item).
     """
-    # One cheap size probe gates every small-corpus shortcut below
-    # (r3 verdict item #4). Small corpus (≤ broadcast_max_docs docs):
-    # persist the shingled docs — the plan reads them from three
-    # branches (df-rank, prefix, verification), so shingling runs once
-    # — and broadcast both the distinct-shingle table and the
-    # verification sets. Large corpus (the 100 TB regime): no persist
-    # (recompute beats spilling a corpus-sized intermediate), shuffle
-    # joins throughout, AQE handles size/skew — exactly the r3 plan.
-    # Both plans are exact: prefix filtering needs one canonical total
-    # order, which (df, shingle) is either way.
+    # One cheap size probe gates the small-corpus plan switch below
+    # (r3 verdict item #4). Small corpus (≤ broadcast_max_docs docs and
+    # bounded shingle volume): compute every pair's overlap directly
+    # with a shingle-keyed count-join — no candidate materialization,
+    # no per-pair array intersection (see the r6 note below). Large
+    # corpus (the 100 TB regime): prefix-filtered candidates + exact
+    # verification, no persist (recompute beats spilling a corpus-sized
+    # intermediate), shuffle joins throughout, AQE handles size/skew —
+    # exactly the r3 plan. Both plans are exact.
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
@@ -164,26 +163,57 @@ def jaccard_pairs(
                 or 0
             )
             small_corpus = est_shingles <= broadcast_max_shingles
-        if small_corpus:
-            sh = sh.persist()
-            if cache_registry is not None:
-                cache_registry.append(sh)
-            else:
-                # registry-less callers (bench, notebooks): bound the
-                # leak to ONE cached plan per session by releasing the
-                # previous call's shingle cache (ADVICE r4)
-                if _LAST_SH_CACHE:
-                    _LAST_SH_CACHE.pop().unpersist()
-                _LAST_SH_CACHE.append(sh)
+    if small_corpus:
+        # r6 optimization (guide §1/§3): the r5 small-corpus plan
+        # (prefix candidates → dropDuplicates → broadcast the per-doc
+        # shingle arrays → array_intersect per candidate) was measured
+        # at 122 s on sf1.0: 42M candidate rows, a 13 s pair-dedup
+        # shuffle, then 40M array intersections at 45-57 s. On a
+        # bounded corpus the exact overlap is cheaper to COUNT than to
+        # verify: self-join the exploded (id, shingle) table on the
+        # shingle (shuffled-hash — both sides are the same exchange,
+        # so the shuffle is planned once and reused), then one hash
+        # aggregation per ordered pair gives |∩| directly. n_sh is
+        # re-attached afterwards from a broadcast (id, n_sh) lookup so
+        # the 100M-row aggregation keys on two ints only. Measured
+        # 22 s on the same input — same rows, bit-identical jaccard.
+        # This stays gated: at true corpus scale Σ df(shingle)² makes
+        # the count-join explode and the prefix plan below is the
+        # right one.
+        ex = sh.select("id", F.explode("sh").alias("shingle"))
+        aa = ex.select(F.col("id").alias("id_a"), "shingle").hint("SHUFFLE_HASH")
+        bb = ex.select(F.col("id").alias("id_b"), "shingle").hint("SHUFFLE_HASH")
+        counted = (
+            aa.join(bb, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        nmap = sh.select("id", "n_sh")
+        pairs = counted.join(
+            F.broadcast(
+                nmap.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+            ),
+            "id_a",
+        ).join(
+            F.broadcast(
+                nmap.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+            ),
+            "id_b",
+        )
+        return pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
     exploded = sh.select("id", F.explode("sh").alias("shingle"))
     # map-side partial count: this shuffle carries ~distinct shingles
     # per task, not full exploded rows
     dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
-    if small_corpus:
-        # the rank attaches map-side; exploded rows shuffle once (the
-        # prefix agg), not twice (measured: the sort-merge rank join
-        # was a second full shuffle of exploded rows)
-        dfreq = F.broadcast(dfreq)
     ranked = exploded.join(dfreq, "shingle")
     # n_sh == exploded rows per id (shingles are array_distinct'ed),
     # so one aggregation yields both the count and the df-sorted prefix
@@ -217,23 +247,18 @@ def jaccard_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # Verification joins attach each doc's full shingle array to its
-    # candidate pairs. As shuffle joins, the SECOND join re-shuffles
-    # every candidate row already fattened with sh_a (~3 KB/row → ~1 GB
-    # at sf0.1) — measured 8.4 s of the query's 11.8 s. Broadcasting
-    # the sets table instead means candidates never shuffle with
-    # arrays attached. At 100 TB the doc table exceeds any broadcast
-    # and the shuffle-join fallback applies — there the exact verifier
+    # candidate pairs (shuffle joins: this is the corpus-scale path,
+    # where the doc table exceeds any broadcast — the exact verifier
     # is the documented heavy path and minhash_lsh is the scale
-    # default.
+    # default).
     sets = sh.select("id", "sh", "n_sh")
 
     def _side(suffix: str) -> DataFrame:
-        s = sets.select(
+        return sets.select(
             F.col("id").alias(f"id_{suffix}"),
             F.col("sh").alias(f"sh_{suffix}"),
             F.col("n_sh").alias(f"n_{suffix}"),
         )
-        return F.broadcast(s) if small_corpus else s
 
     verified = (
         cand.join(_side("a"), "id_a")

@@ -389,8 +389,16 @@ def trigram_lm_score(
     Trigrams absent from the model back off to ``p = 1/V`` (an unseen
     context under add-one smoothing).  Documents shorter than 3 chars
     have no trigrams and produce no row — mirror of the SQL oracle.
-    One explode, one model join (broadcast under AQE when the model is
-    small, shuffle at corpus scale), one per-doc aggregation.
+
+    r6 optimization (guide §2.3 "aggregate before you shuffle" /
+    VERDICT r5 item #3): the score join is pre-aggregated to
+    (doc_id, tri, cnt) before the model join, so the join input
+    shrinks by the per-doc trigram repetition factor and — more
+    importantly — the rows that shuffle into the model join carry a
+    count instead of one row per occurrence.  The per-doc mean
+    becomes the weighted mean Σ(lp·cnt)/Σcnt, which is the same
+    number (per-trigram lp is constant), verified value-identical to
+    the occurrence-level oracle at sf0.001/0.01/0.1/1.0.
     """
     tris = df.select(
         F.col(id_col).alias("doc_id"),
@@ -398,16 +406,22 @@ def trigram_lm_score(
             F.expr(_CHAR_TRIGRAMS.format(t=f"lower({text_col})"))
         ).alias("tri"),
     )
+    tri_cnt = tris.groupBy("doc_id", "tri").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     return (
-        tris.join(model, "tri", "left")
+        tri_cnt.join(model, "tri", "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
+            "cnt",
             F.coalesce(F.col("logp"), -F.log(F.col("v"))).alias("lp"),
         )
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.round(-F.avg("lp"), 6).alias("neg_logp"),
+            F.sum("cnt").alias("n_trigrams"),
+            F.round(
+                -(F.sum(F.col("lp") * F.col("cnt")) / F.sum("cnt")), 6
+            ).alias("neg_logp"),
         )
     )

