@@ -597,23 +597,54 @@ def exact_substring_windows(
 ) -> DataFrame:
     """(id, pos, whash) for every length-``window`` token window.
 
-    0-based ``pos``; the window grams reuse the O(n) ``zip_with`` chain
-    (see :func:`shingles`) but keep positions and duplicates — docs
-    shorter than ``window`` yield no rows at all.
+    0-based ``pos``; docs shorter than ``window`` yield no rows at all.
+
+    r6: the window grams were built with the O(n) ``zip_with`` chain +
+    ``md5`` hex — but ``zip_with`` lambdas evaluate per element outside
+    codegen, and that interpretation measured ~5 s of the sf1.0 query
+    (guide §4.2's exact case).  Windows are now emitted from one
+    ``mapInPandas`` stage over (id, text): per-task Python md5 over
+    each window's joined tokens, whash as the 16-byte digest (half the
+    shuffle bytes of the old hex string; the key is internal — only
+    window-content equality matters, and the census/coverage joins are
+    unchanged).  Tokenizer parity with the Catalyst side that still
+    tokenizes the keep-side (``_tokens``): strip U+0020 only, split on
+    ``\\s+`` under ``re.ASCII`` (Java's ``\\s``), lowercase — verified
+    by the unchanged oracle at sf0.001/0.01/0.1/1.0.
     """
-    toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    grams = toks
-    for j in range(1, window):
-        grams = F.zip_with(
-            grams, F.slice(toks, j + 1, n), lambda x, y: F.concat_ws(" ", x, y)
-        )
-    full = F.when(
-        n >= window, F.slice(grams, 1, n - window + 1)
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("id"), F.posexplode(full).alias("pos", "gram")
-    ).select("id", "pos", F.md5("gram").alias("whash"))
+    import pandas as _pd
+    from pyspark.sql import types as T2
+
+    id_field = df.schema[id_col]
+    schema = T2.StructType(
+        [
+            T2.StructField("id", id_field.dataType, id_field.nullable),
+            T2.StructField("pos", T2.IntegerType(), False),
+            T2.StructField("whash", T2.BinaryType(), False),
+        ]
+    )
+
+    def _win_batches(batches):
+        import hashlib
+        import re
+
+        _ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            ids, poss, hashes = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = text if isinstance(text, str) else ""
+                toks = _ws.split(t.strip(" ").lower())
+                for i in range(len(toks) - window + 1):
+                    ids.append(did)
+                    poss.append(i)
+                    hashes.append(
+                        hashlib.md5(
+                            " ".join(toks[i : i + window]).encode()
+                        ).digest()
+                    )
+            yield _pd.DataFrame({"id": ids, "pos": poss, "whash": hashes})
+
+    return df.select(id_col, text_col).mapInPandas(_win_batches, schema)
 
 
 def exact_substring_dedup(

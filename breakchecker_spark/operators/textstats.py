@@ -12,7 +12,9 @@ against DuckDB.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
 
 # Marker words voted per language. Deterministic and tiny on purpose —
 # an n-gram heuristic whose exact SQL mirror is feasible; real
@@ -181,82 +183,99 @@ def repetition_stats(
     (sum (count-1) x len over n-grams with count > 1) / doc chars.
     ``keep`` ANDs the Gopher thresholds over the requested metrics.
 
-    Scale path: one explode + two hash aggregations. The first shuffle
-    is keyed on (doc, n, gram) — high cardinality, no skew — with
-    map-side partial aggregation; the second collapses to one row per
-    document. No window functions, no Python in the hot path; overall
-    cost is O(total n-grams), unlike the per-doc quadratic
-    distinct x filter formulation.
+    r6 plan (guide §1.1 first-principles / §4.2): every metric here is
+    strictly per-document, so NO shuffle is fundamentally required.
+    The r5 formulation exploded ~3 n-gram rows per token and shuffled
+    them twice; worse, the gram strings themselves were built through
+    interpreted higher-order-function lambdas (transform + slice +
+    concat_ws evaluate per element outside codegen — an interleaved
+    A/B measured both the explode plan and a pure-Catalyst
+    array_sort+aggregate run-length scan at 8-11 s on sf1.0, dominated
+    by exactly that interpretation overhead).  The hot path is now the
+    simhash64 pattern: one ``mapInPandas`` stage over (id, text) only,
+    counting each doc's n-grams in a per-task dict — zero Exchange
+    nodes, zero interpreted Catalyst lambdas, integer arithmetic
+    identical to the SQL oracle's (the division and HALF_UP rounding
+    reproduce Spark's ``round(double, 6)`` bit-for-bit via
+    decimal.Decimal on the shortest-roundtrip repr).  Tokenizer parity
+    with ``F.split(F.trim(lower(text)), '\\s+')`` is exact: trim
+    strips U+0020 only, and the split regex runs under ``re.ASCII`` so
+    ``\\s`` means the same six ASCII characters as Java's.  Verified
+    value-identical to the r5 formulation (and the unchanged SQL
+    oracle) at sf0.001/0.01/0.1/1.0.
     """
     ns = sorted(set(top_ns) | set(dup_ns))
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-
-    # Single-arg closure factory: a `lambda g, n=n` would be seen by
-    # F.transform as a TWO-arg lambda, which binds the second parameter
-    # to the element INDEX — silently shadowing the captured n.
-    def _tag(n: int):
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
-
-    tagged = F.flatten(
-        F.array(*[F.transform(ngram_strings(toks, n), _tag(n)) for n in ns])
-    )
-    # explode_outer keeps documents too short to form any n-gram: they
-    # surface with NULL metrics and coalesce to 0.0 fractions below.
-    ex = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(text_col).cast("double").alias("n_chars"),
-        F.explode_outer(tagged).alias("g"),
-    ).select("doc_id", "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-
-    cnts = ex.groupBy("doc_id", "n_chars", "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    # max over struct(cnt, chars) = lexicographic: highest count first,
-    # ties resolved toward the larger character cover — deterministic
-    # and mirrored verbatim by DuckDB struct comparison.
-    per_n = cnts.groupBy("doc_id", "n_chars", "n").agg(
-        F.max(
-            F.struct(
-                F.col("cnt").alias("cnt"),
-                (F.col("cnt") * F.length("gram")).alias("chars"),
-            )
-        ).alias("top"),
-        F.sum(
-            F.when(F.col("cnt") > 1, (F.col("cnt") - 1) * F.length("gram")).otherwise(
-                F.lit(0)
-            )
-        ).alias("dupchars"),
-    )
-    wide = per_n.groupBy("doc_id", "n_chars").agg(
-        *[
-            F.max(F.when(F.col("n") == n, F.col("top.chars"))).alias(f"_top{n}")
+    top_ns = tuple(top_ns)
+    dup_ns = tuple(dup_ns)
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [T.StructField("doc_id", id_field.dataType, id_field.nullable)]
+        + [
+            T.StructField(f"top{n}_frac", T.DoubleType(), True)
             for n in top_ns
-        ],
-        *[
-            F.max(F.when(F.col("n") == n, F.col("dupchars"))).alias(f"_dup{n}")
+        ]
+        + [
+            T.StructField(f"dup{n}_frac", T.DoubleType(), True)
             for n in dup_ns
-        ],
+        ]
+        + [T.StructField("keep", T.BooleanType(), True)]
     )
 
-    def _frac(c: Column) -> Column:
-        # coalesce BEFORE least: least() skips NULL operands (in both
-        # Spark and DuckDB), so least(NULL, 1.0) would be 1.0 — turning
-        # every too-short document into worst-possible repetition.
-        return F.round(
-            F.least(F.coalesce(c / F.col("n_chars"), F.lit(0.0)), F.lit(1.0)), 6
-        )
+    def _batches(batches):
+        import re
+        from decimal import ROUND_HALF_UP, Decimal
 
-    out = wide.select(
-        "doc_id",
-        *[_frac(F.col(f"_top{n}")).alias(f"top{n}_frac") for n in top_ns],
-        *[_frac(F.col(f"_dup{n}")).alias(f"dup{n}_frac") for n in dup_ns],
-    )
-    keep = F.lit(True)
-    for n in top_ns:
-        keep = keep & (F.col(f"top{n}_frac") <= F.lit(GOPHER_TOP_THRESHOLDS[n]))
-    for n in dup_ns:
-        keep = keep & (F.col(f"dup{n}_frac") <= F.lit(GOPHER_DUP_THRESHOLDS[n]))
-    return out.withColumn("keep", keep)
+        _ws = re.compile(r"\s+", re.ASCII)
+        _q = Decimal("0.000001")
+
+        def _round6(x: float) -> float:
+            # Spark round(double, 6): BigDecimal.valueOf(x) (shortest
+            # round-trip repr, same as Python repr) → HALF_UP → double
+            return float(Decimal(repr(x)).quantize(_q, rounding=ROUND_HALF_UP))
+
+        def _frac(chars: int, n_chars: int) -> float:
+            return _round6(min(chars / n_chars, 1.0)) if n_chars > 0 else 0.0
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = text if isinstance(text, str) else ""
+                n_chars = len(t)
+                toks = _ws.split(t.strip(" ").lower())
+                row = {"doc_id": did}
+                keep = True
+                for n in ns:
+                    counts: dict = {}
+                    for i in range(len(toks) - n + 1):
+                        g = " ".join(toks[i : i + n])
+                        counts[g] = counts.get(g, 0) + 1
+                    if n in top_ns:
+                        top_chars = 0
+                        if counts:
+                            top_chars = max(
+                                (c, c * len(g)) for g, c in counts.items()
+                            )[1]
+                        f = _frac(top_chars, n_chars)
+                        row[f"top{n}_frac"] = f
+                        keep = keep and f <= GOPHER_TOP_THRESHOLDS[n]
+                    if n in dup_ns:
+                        dup_chars = sum(
+                            (c - 1) * len(g)
+                            for g, c in counts.items()
+                            if c > 1
+                        )
+                        f = _frac(dup_chars, n_chars)
+                        row[f"dup{n}_frac"] = f
+                        keep = keep and f <= GOPHER_DUP_THRESHOLDS[n]
+                row["keep"] = keep
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    # project to the two needed columns BEFORE the Python boundary
+    # (guide §4.1: an opaque function over extra columns ships them all)
+    return df.select(id_col, text_col).mapInPandas(_batches, out_schema)
 
 
 def tfidf_top_terms(
