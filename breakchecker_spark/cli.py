@@ -116,6 +116,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.render and not args.live:
         parser.error("--render escalates live fetches to a browser; replay "
                      "tables already hold the rendered html")
+    if args.render:
+        # capability probe BEFORE the SparkSession / plan build
+        # (VERDICT r5 item #8): the factory raises NotImplementedError
+        # with the documented remediation message when playwright (or
+        # a Chromium) is absent, so a mistyped deploy fails in
+        # milliseconds instead of after session startup.
+        from .sources import render as render_mod
+
+        render_mod.playwright_renderer_factory()
 
     domain = seeds_mod.validate_domain(args.domain)
     spark = get_spark(app_name=f"breakchecker:{domain}", master=args.master)
