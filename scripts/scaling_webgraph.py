@@ -75,7 +75,10 @@ def run_level(cpus: int, n_nodes: int, iters: int) -> dict:
     code = _CHILD.format(repo=REPO, cpus=cpus, n_nodes=n_nodes, iters=iters)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=3600, env=dict(os.environ),
+        # 240M-edge local[1] legs exceed an hour; default keeps the old
+        # bound, SPARK_GRAFT_LEVEL_TIMEOUT raises it for big sweeps
+        timeout=int(os.environ.get("SPARK_GRAFT_LEVEL_TIMEOUT", "3600")),
+        env=dict(os.environ),
     )
     for line in out.stdout.splitlines():
         if line.startswith("SCALERESULT "):
