@@ -2328,10 +2328,25 @@ def tfidf_top_terms_q(spark, sf_dir):
     per-document window ranked on the ROUNDED score (so last-ulp ln
     differences between engines cannot flip the order). The oracle is
     the same window over the same arithmetic."""
-    # single-row-group input: spread the token explode across cores
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _t(spark, sf_dir, "documents")
+    # Scale-adaptive repartition (guide §2): the token explode here is
+    # plain codegen (cheap per row, unlike the Arrow/regex stages), so
+    # spreading the single-row-group scan only pays off once the
+    # corpus is big — measured at sf1.0 repartitioned wins 1.5-2.1 s
+    # vs 2.5-4.3 s interleaved, but at sf0.1 the extra stage costs
+    # ~0.5 s against a 0.65 s query. Gate on input bytes (driver-side
+    # stat, no job; default to repartition when the path isn't local).
+    import os as _os
+
+    try:
+        _big = (
+            _os.path.getsize(_os.path.join(sf_dir, "documents.parquet"))
+            > 4_000_000
+        )
+    except OSError:
+        _big = True
+    if _big:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return textstats.tfidf_top_terms(docs, top_k=3).orderBy("doc_id", "rank")
 
 
