@@ -305,6 +305,72 @@ def minhash_signature(text_col, num_hashes: int = 16, k: int = 3):
     )
 
 
+def minhash_signature_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """(id, sig) rows with the SAME portable md5 hash family as
+    :func:`minhash_signature`, computed in one Arrow stage.
+
+    r6 (guide §4.2): the expression form evaluates
+    ``array_min(transform(shingles, md5+conv))`` — higher-order-
+    function lambdas interpreted per (shingle × hash), ~10M
+    interpreted evaluations at sf1.0.  This stage computes the
+    identical values (``int(md5(f"{seed}:{shingle}")[:8 hex], 16)``,
+    hashlib md5 ≡ Spark md5) per task in Python; shingle semantics
+    mirror :func:`shingles` exactly — k-token shingles, distinct,
+    docs shorter than k tokens yield the single clipped shingle of
+    all tokens (the ``zip_with``/``concat_ws`` null-pad behavior),
+    tokenizer = U+0020-only strip + ``re.ASCII`` ``\\s+`` split +
+    lower.  The expression form stays for column-level callers; the
+    oracle re-derives the signatures in SQL, so exactness is gated,
+    not assumed (verified sf0.001/0.01/0.1/1.0).
+    """
+    import pandas as _pd
+    from pyspark.sql import types as T2
+
+    id_field = df.schema[id_col]
+    schema = T2.StructType(
+        [
+            T2.StructField("id", id_field.dataType, id_field.nullable),
+            T2.StructField("sig", T2.ArrayType(T2.LongType(), False), False),
+        ]
+    )
+
+    def _batches(batches):
+        import hashlib
+        import re
+
+        _ws = re.compile(r"\s+", re.ASCII)
+        prefixes = [f"{j}:".encode() for j in range(num_hashes)]
+
+        def _h(pre: bytes, s: bytes) -> int:
+            return int(hashlib.md5(pre + s).hexdigest()[:8], 16)
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = text if isinstance(text, str) else ""
+                toks = _ws.split(t.strip(" ").lower())
+                if len(toks) >= k:
+                    sh = {
+                        " ".join(toks[i : i + k]).encode()
+                        for i in range(len(toks) - k + 1)
+                    }
+                else:
+                    sh = {" ".join(toks).encode()}
+                ids.append(did)
+                sigs.append(
+                    [min(_h(pre, s) for s in sh) for pre in prefixes]
+                )
+            yield _pd.DataFrame({"id": ids, "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(_batches, schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -321,10 +387,10 @@ def minhash_lsh_pairs(
     fraction — callers verify with exact jaccard_pairs if needed.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
-    )
+    # r6: signatures come from the Arrow stage (identical md5 family,
+    # see minhash_signature_rows) instead of the interpreted
+    # per-shingle HOF expression
+    sig = minhash_signature_rows(df, id_col, text_col, num_hashes, k)
     banded = sig.select(
         "id",
         "sig",

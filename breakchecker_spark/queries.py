@@ -323,10 +323,11 @@ def minhash_signatures(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sig = dedup.minhash_signature(F.col("text"), num_hashes=4, k=3)
-    return docs.select(
-        "doc_id",
-        *[sig[j].alias(f"mh{j}") for j in range(4)],
+    # r6: Arrow-stage signature build (same md5 family, hash-gated)
+    rows = dedup.minhash_signature_rows(docs, "doc_id", "text", num_hashes=4, k=3)
+    return rows.select(
+        F.col("id").alias("doc_id"),
+        *[F.col("sig")[j].alias(f"mh{j}") for j in range(4)],
     ).orderBy("doc_id")
 
 
