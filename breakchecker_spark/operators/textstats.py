@@ -349,6 +349,84 @@ _CHARS = (
 )
 
 
+def _doc_trigram_counts(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, tri, cnt) — per-document character-trigram counts in
+    one Arrow stage (r6, guide §4.2: the ``transform(sequence,
+    substr)`` trigram build is an interpreted HOF per character).
+    Counting is pure integer arithmetic over ``lower(text)`` code
+    points, identical to the Catalyst/SQL formulation; Python
+    ``str.lower()`` matches Spark/DuckDB ``lower`` on this corpus and
+    slicing is per code point on both sides."""
+    import pandas as _pd
+    from pyspark.sql import types as T2
+
+    id_field = df.schema[id_col]
+    schema = T2.StructType(
+        [
+            T2.StructField("doc_id", id_field.dataType, id_field.nullable),
+            T2.StructField("tri", T2.StringType(), False),
+            T2.StructField("cnt", T2.LongType(), False),
+        ]
+    )
+
+    def _batches(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids, tris, cnts = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = (text if isinstance(text, str) else "").lower()
+                if len(t) < 3:
+                    continue
+                c = Counter(t[i : i + 3] for i in range(len(t) - 2))
+                for tri, n in c.items():
+                    ids.append(did)
+                    tris.append(tri)
+                    cnts.append(n)
+            yield _pd.DataFrame({"doc_id": ids, "tri": tris, "cnt": cnts})
+
+    return df.select(id_col, text_col).mapInPandas(_batches, schema)
+
+
+def _corpus_trigram_partials(df: DataFrame, text_col: str) -> DataFrame:
+    """(kind, key, cnt) corpus partials in one Arrow pass: kind 't' =
+    per-batch trigram counts (map-side partial aggregation in Python —
+    the shuffle carries ~|vocab³| rows per task, not one row per
+    occurrence), kind 'c' = per-batch distinct characters (cnt 1).
+    Feeds both the n3 census and the alphabet size of
+    :func:`trigram_lm_train` from ONE corpus scan."""
+    import pandas as _pd
+    from pyspark.sql import types as T2
+
+    schema = T2.StructType(
+        [
+            T2.StructField("kind", T2.StringType(), False),
+            T2.StructField("key", T2.StringType(), False),
+            T2.StructField("cnt", T2.LongType(), False),
+        ]
+    )
+
+    def _batches(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            tri_c: Counter = Counter()
+            chars: set = set()
+            for text in pdf[text_col]:
+                t = (text if isinstance(text, str) else "").lower()
+                chars.update(t)
+                if len(t) >= 3:
+                    tri_c.update(t[i : i + 3] for i in range(len(t) - 2))
+            kinds = ["t"] * len(tri_c) + ["c"] * len(chars)
+            keys = list(tri_c.keys()) + list(chars)
+            cnts = list(tri_c.values()) + [1] * len(chars)
+            yield _pd.DataFrame({"kind": kinds, "key": keys, "cnt": cnts})
+
+    return df.select(text_col).mapInPandas(_batches, schema)
+
+
 def trigram_lm_train(
     df: DataFrame, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
@@ -366,20 +444,30 @@ def trigram_lm_train(
     small), and the alphabet size is a broadcast 1-row aggregate —
     nothing touches the driver.
 
-    Text is lowercased first; trigram extraction is a pure-Catalyst
-    substring transform (no Python, no regex).
+    Text is lowercased first.  r6: trigram extraction moved off the
+    interpreted ``transform(sequence, substr)`` HOFs onto one Arrow
+    pass that emits per-batch trigram-count partials AND the batch's
+    distinct characters (``_corpus_trigram_partials``) — the n3
+    census shuffle then carries ~|alphabet|³ rows per task instead of
+    one row per occurrence, and the alphabet scan shares the same
+    pass.  Counts are integers, so the smoothed logp values are
+    bit-identical to the Catalyst formulation (oracle-verified at
+    sf0.001/0.01/0.1/1.0).
     """
-    t = df.select(F.lower(F.col(text_col)).alias("t"))
-    tris = t.select(
-        F.explode(F.expr(_CHAR_TRIGRAMS.format(t="t"))).alias("tri")
+    partials = _corpus_trigram_partials(df, text_col)
+    n3 = (
+        partials.filter(F.col("kind") == "t")
+        .groupBy(F.col("key").alias("tri"))
+        .agg(F.sum("cnt").alias("n3"))
     )
-    n3 = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("n3"))
     n2 = n3.groupBy(F.substring("tri", 1, 2).alias("ctx")).agg(
         F.sum("n3").alias("n2")
     )
-    vocab = t.select(
-        F.explode(F.expr(_CHARS.format(t="t"))).alias("ch")
-    ).agg(F.count_distinct("ch").cast("double").alias("v"))
+    vocab = (
+        partials.filter(F.col("kind") == "c")
+        .select("key")
+        .agg(F.count_distinct("key").cast("double").alias("v"))
+    )
     model = (
         n3.withColumn("ctx", F.substring("tri", 1, 2))
         .join(n2, "ctx")
@@ -419,15 +507,7 @@ def trigram_lm_score(
     number (per-trigram lp is constant), verified value-identical to
     the occurrence-level oracle at sf0.001/0.01/0.1/1.0.
     """
-    tris = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.expr(_CHAR_TRIGRAMS.format(t=f"lower({text_col})"))
-        ).alias("tri"),
-    )
-    tri_cnt = tris.groupBy("doc_id", "tri").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    tri_cnt = _doc_trigram_counts(df, id_col, text_col)
     return (
         tri_cnt.join(model, "tri", "left")
         .crossJoin(F.broadcast(vocab))
