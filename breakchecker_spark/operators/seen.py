@@ -112,6 +112,58 @@ def merge_bloom(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def bloom_add(
+    bloom_table: DataFrame,
+    new_keys: DataFrame,
+    n_parts: int = 32,
+    expected_per_part: int = 100_000,
+    fp_rate: float = 0.01,
+) -> DataFrame:
+    """Add ``new_keys`` (key_hash rows) into an existing bloom table.
+
+    Bit-identical to ``merge_bloom(bloom_table, build_bloom(new_keys))``
+    — setting a delta's bits into a copy of the old bitset IS the OR of
+    the two filters — but runs as ONE cogrouped Arrow stage instead of
+    two chained ``applyInPandas`` stages (build then merge), halving
+    the per-round Python barrier count in the crawl loop (guide §4).
+    Parts with no prior row get a fresh bitset with the same
+    ``optimal_params`` build_bloom would use; parts with no new keys
+    pass through unchanged.
+    """
+    nbits, k = bloom.optimal_params(expected_per_part, fp_rate)
+
+    def _add(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if right.empty:
+            part = bloom.BloomPart(nbits, k)
+            pid = int(left["part_id"].iloc[0])
+            out_nbits, out_k = nbits, k
+        else:
+            first = right.iloc[0]
+            out_nbits, out_k = int(first["nbits"]), int(first["k"])
+            part = bloom.BloomPart.from_bytes(out_nbits, out_k, first["bits"])
+            pid = int(first["part_id"])
+        if not left.empty:
+            part.add(left["key_hash"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "part_id": [pid],
+                "nbits": [out_nbits],
+                "k": [out_k],
+                "bits": [part.to_bytes()],
+            }
+        )
+
+    keyed = new_keys.select(
+        F.pmod(F.col("key_hash"), F.lit(n_parts)).cast("int").alias("part_id"),
+        "key_hash",
+    )
+    return (
+        keyed.groupBy("part_id")
+        .cogroup(bloom_table.groupBy("part_id"))
+        .applyInPandas(_add, schema=BLOOM_SCHEMA)
+    )
+
+
 def _probe_schema(candidates: DataFrame) -> T.StructType:
     return T.StructType(
         candidates.schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)]
@@ -129,6 +181,7 @@ def filter_new(
     prune_buckets: bool = False,
     max_broadcast_rows: int | None = 4_000_000,
     candidate_bound: int | None = None,
+    probe_min_candidates: int = 50_000,
 ) -> DataFrame:
     """Candidates whose struct key is not in the seen set.
 
@@ -175,9 +228,49 @@ def filter_new(
     already ≤ the threshold the broadcast is safe by construction and
     the count job is skipped — keeps the guard free on the common
     small-round path.
+
+    ``probe_min_candidates``: the bloom probe is a fixed-cost Python
+    cogroup barrier whose benefit (shrinking the broadcast to the
+    bloom survivors) scales with the candidate count; when the caller
+    bounds the candidates at or below this threshold, the probe is
+    skipped and ALL candidates take the exact broadcast-confirm path
+    (r6, guide §4.1 — the broadcast of ≤50k keys costs less than the
+    probe stage it replaces). Results are identical either way: the
+    probe only splits candidates into definitely-new vs maybe-seen,
+    and the confirm join is exact for both populations. The seen side
+    is still never shuffled. 0 disables the skip (always probe).
     """
     if bloom_table is None:
         return candidates.join(seen.select("key_hash"), "key_hash", "left_anti")
+    if (
+        strategy == "broadcast"
+        and not prune_buckets
+        and candidate_bound is not None
+        and probe_min_candidates
+        and candidate_bound <= probe_min_candidates
+        and (max_broadcast_rows is None or candidate_bound <= max_broadcast_rows)
+    ):
+        survivors = candidates
+        if cache_registry is not None:
+            # the candidate pipeline feeds both the broadcast-confirm
+            # build and the final anti-join — cache it once, exactly
+            # like the probed path caches ``probed``
+            survivors = survivors.cache()
+            cache_registry.append(survivors)
+        if seen_buckets is not None and "bucket" in seen.columns:
+            surv_keys = survivors.select("key_hash").withColumn(
+                "bucket", F.pmod(F.col("key_hash"), F.lit(seen_buckets)).cast("int")
+            )
+            confirmed = seen.select("bucket", "key_hash").join(
+                F.broadcast(surv_keys), ["bucket", "key_hash"], "left_semi"
+            )
+        else:
+            confirmed = seen.select("key_hash").join(
+                F.broadcast(survivors.select("key_hash")), "key_hash", "left_semi"
+            )
+        return survivors.join(
+            F.broadcast(confirmed.select("key_hash")), "key_hash", "left_anti"
+        )
 
     cand_cols = candidates.columns
     cand = candidates.withColumn(

@@ -4,9 +4,12 @@ Reimplements the reference's async BFS crawler
 (/root/reference/break_checker.py:1319-1421) as iterative DataFrame
 rounds. Each round:
 
-1. **dequeue re-check** — frontier anti-joins the URL-seen set on the
-   structural key (bloom-prefiltered), matching the reference's
-   dequeue-time guard (bc:1338-1346);
+1. **dequeue** — the reference re-checks the seen set at dequeue time
+   (bc:1338-1346) to close its async enqueue/visit race; this loop is
+   level-synchronous and enforces the same set semantics at ENQUEUE
+   (step 5), which makes ``frontier ∩ url_seen = ∅`` an invariant —
+   the dequeue re-check is provably the identity and is skipped
+   (see the step-1 comment in run_crawl for the induction);
 2. **robots gate + politeness budget** — north-rule additions; eligible
    rows are capped per host (skew-safe two-phase window), deferred rows
    carry over at the same depth;
@@ -97,6 +100,10 @@ class CrawlConfig:
     # broadcast-safety guard: fall back to "anti" for a round whose
     # bloom-surviving candidates exceed this (None disables)
     seen_broadcast_max_rows: Optional[int] = 4_000_000
+    # skip the bloom-probe cogroup stage when the round's driver-known
+    # candidate bound is at or below this (seen.filter_new
+    # probe_min_candidates); 0 = always probe
+    probe_min_candidates: int = 50_000
     # compact append tables (url_seen/contacts/metrics) every this many
     # rounds once they hold that many delta versions — the Iceberg
     # rewrite_data_files maintenance analogue. 0 disables.
@@ -340,22 +347,29 @@ def run_crawl(
         t0 = time.time()
 
         round_caches: list = []
-        # 1. dequeue-time seen re-check (bloom prefilter + exact check)
-        live = seen.filter_new(
-            frontier,
-            url_seen,
-            bloom_table,
-            config.bloom_parts,
-            seen_buckets=config.seen_buckets or None,
-            cache_registry=round_caches,
-            strategy=config.seen_join,
-            prune_buckets=config.prune_seen_buckets,
-            max_broadcast_rows=config.seen_broadcast_max_rows,
-            # frontier size is known exactly from the staged footers —
-            # below the broadcast threshold the guard costs nothing
-            candidate_bound=frontier_rows if frontier_rows >= 0 else None,
-        )
-        live = _dedup_frontier(live)
+        # 1. dequeue-time seen re-check — structurally a NO-OP in this
+        # engine, so it is skipped (r6, guide §2.1 "remove the shuffle
+        # outright"). The reference re-checks at dequeue
+        # (bc:1338-1346) because its async queue can hold entries
+        # enqueued before their key was marked seen; this loop is
+        # level-synchronous and every frontier is built by
+        # _build_frontier_next, which anti-joins candidates against
+        # ``url_seen_next`` — exactly the url_seen the same commit
+        # publishes — and carries politeness-deferred rows whose keys
+        # are disjoint from that round's ``new_seen`` (eligible and
+        # deferred partition the frontier, and only eligible rows are
+        # marked seen). Hence ``frontier ∩ url_seen = ∅`` holds
+        # inductively for every mode (replay / classic / live, with or
+        # without budgets, fresh or resumed — frontier and url_seen
+        # are committed atomically by the same manifest), and the
+        # per-round filter_new probe + broadcast confirm + re-dedup
+        # recomputed an identity. Seeds are deduped at entry
+        # (seeds_to_frontier → _dedup_frontier) and filter_new only
+        # ever removes rows, so the frontier is also struct_key-unique
+        # by construction — no re-dedup needed either. Verified by the
+        # crawl e2e equality matrix and the round-simulating DuckDB
+        # oracles (crawl_frontier_bfs / _preextract / _budget).
+        live = frontier
 
         # 2. robots gate (dropped, not deferred) + per-host budget
         live = politeness.apply_robots(live, robots)
@@ -436,12 +450,20 @@ def run_crawl(
         # larger) enqueue-time anti-join is bloom-prefiltered too.
         bloom_next = None
         if config.use_bloom:
-            delta = seen.build_bloom(
-                new_seen, config.bloom_parts, config.bloom_expected_per_part
-            )
-            bloom_next = (
-                delta if bloom_table is None else seen.merge_bloom(bloom_table, delta)
-            )
+            if bloom_table is None:
+                bloom_next = seen.build_bloom(
+                    new_seen, config.bloom_parts, config.bloom_expected_per_part
+                )
+            else:
+                # r6: one cogrouped add stage instead of build-delta +
+                # OR-merge (two chained applyInPandas barriers) — the
+                # resulting bitsets are bit-identical (seen.bloom_add)
+                bloom_next = seen.bloom_add(
+                    bloom_table,
+                    new_seen,
+                    config.bloom_parts,
+                    config.bloom_expected_per_part,
+                )
             # two consumers (bloom staging write + the enqueue-time
             # probe cogroup): cache so the applyInPandas OR-merge runs
             # once — it is a handful of bitset rows
@@ -520,6 +542,7 @@ def run_crawl(
                 prune_buckets=config.prune_seen_buckets,
                 max_broadcast_rows=config.seen_broadcast_max_rows,
                 candidate_bound=candidate_bound,
+                probe_min_candidates=config.probe_min_candidates,
             )
             if config.host_budget is None and host_budgets is None:
                 # no deferrals possible — skip the anti-join and union
@@ -689,6 +712,7 @@ def run_crawl(
         # eager localCheckpoint), so nothing returned still depends on
         # the persisted pre-extraction table
         pre.unpersist()
+    t_tail = time.time()
     deduped = extract.dedup_contacts(all_contacts)
     if store is not None and store.manifest() is not None:
         # endpoint count from the committed parquet footers — no Spark
@@ -696,6 +720,7 @@ def run_crawl(
         n_endpoints = store.table_rows("url_seen") or 0
     else:
         n_endpoints = url_seen.count()
+    t_tail = _tlog("tail endpoints", t_tail)
     summary = {
         "num_endpoints": n_endpoints,
         "num_subdomains": url_seen.select(
@@ -705,6 +730,7 @@ def run_crawl(
         .count(),
         "rounds": rounds_run,
     }
+    t_tail = _tlog("tail subdomains", t_tail)
     lineage = (
         store.read(spark, "lineage")
         if store is not None and store.manifest() is not None

@@ -97,6 +97,78 @@ def test_merge_bloom_dataframe(spark, seen_and_candidates):
         assert part.might_contain(np.array([key], dtype=np.int64))[0]
 
 
+def test_bloom_add_equals_build_then_merge(spark, seen_and_candidates):
+    """r6: the fused cogrouped add stage must be BIT-identical to
+    merge_bloom(old, build_bloom(new)) — including parts that receive
+    no new keys (pass-through) and parts with no prior row (fresh
+    bitset with build_bloom's params)."""
+    seen_df, cand = seen_and_candidates
+    n_parts, expected = 4, 2000
+    old = seen.build_bloom(seen_df, n_parts=n_parts, expected_per_part=expected)
+    want = {
+        r["part_id"]: r
+        for r in seen.merge_bloom(
+            old, seen.build_bloom(cand, n_parts=n_parts, expected_per_part=expected)
+        ).collect()
+    }
+    got = {
+        r["part_id"]: r
+        for r in seen.bloom_add(
+            old, cand, n_parts=n_parts, expected_per_part=expected
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for pid in want:
+        assert got[pid]["nbits"] == want[pid]["nbits"]
+        assert got[pid]["k"] == want[pid]["k"]
+        assert bytes(got[pid]["bits"]) == bytes(want[pid]["bits"])
+
+    # empty-part edges: new keys confined to one partition → every
+    # other part must pass through byte-unchanged
+    one_part = cand.filter(F.pmod(F.col("key_hash"), F.lit(n_parts)) == 1)
+    old_rows = {r["part_id"]: r for r in old.collect()}
+    added = {
+        r["part_id"]: r
+        for r in seen.bloom_add(
+            old, one_part, n_parts=n_parts, expected_per_part=expected
+        ).collect()
+    }
+    for pid, row in old_rows.items():
+        if pid != 1:
+            assert bytes(added[pid]["bits"]) == bytes(row["bits"])
+
+
+def test_filter_new_probe_skip_equals_probed(spark, seen_and_candidates):
+    """r6: with a small driver-known candidate bound the bloom-probe
+    cogroup stage is skipped (all candidates take the exact broadcast
+    confirm) — results must equal the probed plan, and the skipped
+    plan must contain no Python cogroup (FlatMapCoGroupsInPandas)."""
+    seen_df, cand = seen_and_candidates
+    bloom_table = seen.build_bloom(seen_df, n_parts=8, expected_per_part=1000)
+    want = {
+        r["url"]
+        for r in seen.filter_new(
+            cand, seen_df, bloom_table, 8, probe_min_candidates=0
+        ).select("url").collect()
+    }
+    skipped = seen.filter_new(
+        cand, seen_df, bloom_table, 8, candidate_bound=5000,
+        probe_min_candidates=50_000,
+    )
+    plan = skipped._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert {r["url"] for r in skipped.select("url").collect()} == want
+
+    # bucketed seen side: same equality through the bucket semi join
+    seen_b = seen_df.withColumn(
+        "bucket", F.pmod(F.col("key_hash"), F.lit(8)).cast("int")
+    )
+    skipped_b = seen.filter_new(
+        cand, seen_b, bloom_table, 8, seen_buckets=8, candidate_bound=5000,
+    )
+    assert {r["url"] for r in skipped_b.select("url").collect()} == want
+
+
 def test_filter_new_guard_active_without_registry(spark, seen_and_candidates):
     """The max_broadcast_rows driver-OOM guard must fire even when no
     cache_registry is passed (ADVICE r3 — it was silently inactive):
