@@ -180,28 +180,38 @@ def jaccard_pairs(
         # This stays gated: at true corpus scale Σ df(shingle)² makes
         # the count-join explode and the prefix plan below is the
         # right one.
-        ex = sh.select("id", F.explode("sh").alias("shingle"))
-        aa = ex.select(F.col("id").alias("id_a"), "shingle").hint("SHUFFLE_HASH")
-        bb = ex.select(F.col("id").alias("id_b"), "shingle").hint("SHUFFLE_HASH")
+        # r6 second pass: carry n_sh through the join and prune with
+        # the exact length bound BEFORE the pair aggregation.  J >= t
+        # requires t*max(n_a, n_b) <= min(n_a, n_b) (c <= min and
+        # c >= t*(n_a+n_b-c)), so the prune drops only pairs the final
+        # jaccard filter would drop anyway — row-identical output,
+        # verified vs the previous plan on pair-producing corpora and
+        # by the hash-gated oracle.  The carried n also deletes the two
+        # post-agg broadcast n-attach joins (the agg keys gain two
+        # functionally-dependent ints, so group cardinality is
+        # unchanged).  Interleaved same-JVM A/B at 50k docs
+        # (scripts/jaccard_ab.py): wins every pair, ~8-10% plus two
+        # joins gone.
+        ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+        aa = ex.select(
+            F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+        ).hint("SHUFFLE_HASH")
+        bb = ex.select(
+            F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+        ).hint("SHUFFLE_HASH")
+        t = F.lit(threshold)
         counted = (
-            aa.join(bb, "shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
+            aa.join(
+                bb,
+                (aa["shingle"] == bb["shingle"])
+                & (F.col("id_a") < F.col("id_b"))
+                & (F.col("n_a") * t <= F.col("n_b"))
+                & (F.col("n_b") * t <= F.col("n_a")),
+            )
+            .groupBy("id_a", "id_b", "n_a", "n_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        nmap = sh.select("id", "n_sh")
-        pairs = counted.join(
-            F.broadcast(
-                nmap.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-            ),
-            "id_a",
-        ).join(
-            F.broadcast(
-                nmap.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-            ),
-            "id_b",
-        )
-        return pairs.select(
+        return counted.select(
             "id_a",
             "id_b",
             F.round(

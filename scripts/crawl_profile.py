@@ -47,7 +47,9 @@ def one_crawl(spark, n_pages: int, tmp_root: str, pre_extract: bool) -> dict:
     t0 = time.time()
     res = run_crawl(spark, seeds, pages, cfg)
     n_visited = res.summary["num_endpoints"]
+    t_cnt = time.time()
     n_ids = res.contacts.count()
+    print(f"TIMING contacts.count: {time.time() - t_cnt:.2f}s", file=sys.stderr)
     secs = time.time() - t0
     shutil.rmtree(ckpt, ignore_errors=True)
     return {
