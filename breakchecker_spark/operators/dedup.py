@@ -171,12 +171,10 @@ def jaccard_pairs(
         # shuffle, then 40M array intersections at 45-57 s. On a
         # bounded corpus the exact overlap is cheaper to COUNT than to
         # verify: self-join the exploded (id, shingle) table on the
-        # shingle (shuffled-hash — both sides are the same exchange,
-        # so the shuffle is planned once and reused), then one hash
-        # aggregation per ordered pair gives |∩| directly. n_sh is
-        # re-attached afterwards from a broadcast (id, n_sh) lookup so
-        # the 100M-row aggregation keys on two ints only. Measured
-        # 22 s on the same input — same rows, bit-identical jaccard.
+        # shingle (shuffled-hash, deliberate — guide §3.1), then one
+        # hash aggregation per ordered pair gives |∩| directly.
+        # Measured 22 s on the same input — same rows, bit-identical
+        # jaccard.
         # This stays gated: at true corpus scale Σ df(shingle)² makes
         # the count-join explode and the prefix plan below is the
         # right one.
