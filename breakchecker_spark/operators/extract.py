@@ -257,6 +257,146 @@ def _make_normalize_contacts_udf(default_region: str | None, org_domain: str):
     return norm
 
 
+_PRE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+        T.StructField(
+            "contacts",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("identifier", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("emails_dropped", T.LongType()),
+        T.StructField("phones_dropped", T.LongType()),
+    ]
+)
+
+
+def _fused_preextract_fn(scope_host: str, default_region: str | None, org_domain: str):
+    """Whole-page extraction (harvest + sweeps + canonical links +
+    contact normalization) as ONE mapInPandas stage.
+
+    Row-for-row identical to the chained plan in
+    :func:`preextract_pages_chained` (page_features →
+    canonical_links ×2 → normalize-contacts), which it replaces on the
+    hot path: the chained form is four dependent pandas UDFs, i.e.
+    three extra JVM↔Python Arrow round trips of every batch per pass —
+    measured ~90% of the pre-extract wall time on the bench corpus
+    (the pure-Python page work is ~14 core-seconds per 100k pages).
+    Equality is pinned by tests/test_crawl_e2e.py's fused≡chained
+    sweep (exact rows, including per-page link order).
+    """
+    import re as _re
+    from urllib.parse import urlparse
+
+    from ..functions import contacts as cfn
+    from ..functions import htmlx, textnorm, urlnorm
+
+    js_re = _re.compile(_JS_PATH)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, links_out, contacts_out = [], [], []
+            ed_out, pd_out = [], []
+            for url, doc, txt in zip(pdf["url"], pdf["_raw"], pdf["text"]):
+                # is_js: url_path + rlike semantics (falsy url → null
+                # predicate → behaves as False in both consumers)
+                is_js = bool(js_re.search(urlparse(url).path or "/")) if url else False
+                if doc is None:
+                    doc = ""
+                hrefs: list = []
+                srcs: list = []
+                mailtos: list = []
+                tels: list = []
+                if not is_js and doc:
+                    h = htmlx.harvest(doc, collect_text=False)
+                    hrefs, srcs = h.hrefs, h.script_srcs
+                    for href in hrefs:
+                        low = href.strip().lower()
+                        if low.startswith("mailto:"):
+                            mailtos.extend(cfn.mailto_addresses(href))
+                        elif low.startswith("tel:"):
+                            tels.extend(cfn.tel_numbers(href))
+                if doc:
+                    normed = textnorm.norm_text(doc)
+                    e1 = cfn.extract_emails(normed)
+                    p1 = cfn.extract_phones(normed)
+                else:
+                    e1, p1 = [], []
+                if not is_js and txt:
+                    normed_t = textnorm.norm_text(txt)
+                    e2 = cfn.extract_emails(normed_t)
+                    p2 = cfn.extract_phones(normed_t)
+                else:
+                    e2, p2 = [], []
+                emails_raw = e1 + e2 + mailtos
+                phones_raw = [] if is_js else p1 + p2 + tels
+
+                if is_js:
+                    links: list = []
+                else:
+                    # two independently deduped+sorted lists, then
+                    # concatenated — exactly concat(links_udf,
+                    # scripts_udf) including cross-list duplicates
+                    keep = set()
+                    for href in hrefs:
+                        cand = urlnorm.canonicalize(url, href, scope_host)
+                        if cand is None or urlnorm.skip_by_path(cand):
+                            continue
+                        keep.add(cand)
+                    keep_js = set()
+                    for href in srcs:
+                        cand = urlnorm.canonicalize(url, href, scope_host)
+                        if cand is None or urlnorm.skip_by_path(cand):
+                            continue
+                        if not cand.lower().endswith((".js", ".mjs")):
+                            continue
+                        keep_js.add(cand)
+                    links = sorted(keep) + sorted(keep_js)
+
+                kept: list = []
+                ed = pdd = 0
+                for raw_mail in emails_raw:
+                    ident = cfn.normalize_email(raw_mail) if raw_mail else None
+                    if ident is not None and cfn.email_org(ident) == org_domain:
+                        kept.append({"kind": "email", "identifier": ident})
+                    else:
+                        ed += 1
+                for raw_ph in phones_raw:
+                    ident = (
+                        cfn.normalize_phone(raw_ph, default_region) if raw_ph else None
+                    )
+                    if ident is not None:
+                        kept.append({"kind": "phone", "identifier": ident})
+                    else:
+                        pdd += 1
+
+                urls.append(url)
+                links_out.append(links)
+                contacts_out.append(kept)
+                ed_out.append(ed)
+                pd_out.append(pdd)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "links": links_out,
+                    "contacts": contacts_out,
+                    "emails_dropped": pd.Series(ed_out, dtype="int64"),
+                    "phones_dropped": pd.Series(pd_out, dtype="int64"),
+                }
+            )
+
+    return run
+
+
 def preextract_pages(
     pages: DataFrame,
     scope_host: str,
@@ -276,9 +416,41 @@ def preextract_pages(
     so extraction is paid ONCE in a single embarrassingly-parallel
     pass — the Common-Crawl shape: WARC → extracted link graph →
     iterative BFS over slim rows (~100× smaller than raw pages).
-    Per-page outputs are exactly process_pages' (same UDFs, same
+    Per-page outputs are exactly process_pages' (same semantics, same
     filters, same drop counters); tests/test_crawl_e2e.py proves
-    mode-for-mode equality of the whole crawl."""
+    mode-for-mode equality of the whole crawl.
+
+    r6: the pass is ONE mapInPandas stage (the raw page crosses the
+    Arrow boundary once; see :func:`_fused_preextract_fn`). Bytes→str
+    decoding stays in the JVM (``F.decode``) so its replacement-char
+    semantics are unchanged."""
+    base = (
+        pages.select("url", "html", "text")
+        .filter(F.col("html").isNotNull() | F.col("text").isNotNull())
+        .select(
+            "url",
+            F.when(F.col("html").isNotNull(), F.decode(F.col("html"), "UTF-8"))
+            .otherwise(F.col("text"))
+            .alias("_raw"),
+            "text",
+        )
+    )
+    return base.mapInPandas(
+        _fused_preextract_fn(scope_host, default_region, org_domain),
+        schema=_PRE_SCHEMA,
+    )
+
+
+def preextract_pages_chained(
+    pages: DataFrame,
+    scope_host: str,
+    default_region: str | None,
+    org_domain: str,
+) -> DataFrame:
+    """The pre-r6 chained-UDF form of :func:`preextract_pages`
+    (page_features → canonical_links ×2 → normalize-contacts). Kept as
+    the reference implementation for the fused≡chained equality test —
+    not on any hot path."""
     enr = _enrich(pages.select("url", "html", "text"), ["url"])
     links_udf = udfs.make_canonical_links_udf(scope_host, js_only=False)
     scripts_udf = udfs.make_canonical_links_udf(scope_host, js_only=True)

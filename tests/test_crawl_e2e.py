@@ -355,3 +355,33 @@ def test_metrics_recorded(spark, pages_df, seeds_df):
         .collect()[0][0]
     )
     assert total_frontier == result.summary["num_endpoints"]
+
+
+def test_fused_preextract_equals_chained(spark, pages_df):
+    """r6: preextract_pages is one fused mapInPandas stage; its rows
+    (incl. per-page link ORDER and exact drop counts) must equal the
+    chained pandas-UDF composition it replaced."""
+    from breakchecker_spark.operators import extract
+
+    args = (fixture_web.SCOPE, "GR", fixture_web.SCOPE)
+    fused = extract.preextract_pages(pages_df, *args)
+    chained = extract.preextract_pages_chained(pages_df, *args)
+    assert [(f.name, f.dataType) for f in fused.schema] == [
+        (f.name, f.dataType) for f in chained.schema
+    ]
+    ra = sorted(
+        (r.asDict(recursive=True) for r in fused.collect()),
+        key=lambda r: r["url"],
+    )
+    rb = sorted(
+        (r.asDict(recursive=True) for r in chained.collect()),
+        key=lambda r: r["url"],
+    )
+    assert ra == rb
+    # no chained python runners on the hot path: exactly one
+    # MapInPandas / python-eval node in the fused plan
+    import re
+
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"MapInPandas", plan)) == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
