@@ -257,10 +257,22 @@ def _make_normalize_contacts_udf(default_region: str | None, org_domain: str):
     return norm
 
 
+_PRE_LINK_T = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        # host/skey are pure functions of the link url (url_host /
+        # struct_key_str), computed here so the per-round frontier
+        # build needs NO Python stage — key_hash stays a JVM
+        # xxhash64(skey) projection (operators/seen.with_struct_key)
+        T.StructField("host", T.StringType()),
+        T.StructField("skey", T.StringType()),
+    ]
+)
+
 _PRE_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
-        T.StructField("links", T.ArrayType(T.StringType())),
+        T.StructField("links", T.ArrayType(_PRE_LINK_T)),
         T.StructField(
             "contacts",
             T.ArrayType(
@@ -360,7 +372,14 @@ def _fused_preextract_fn(scope_host: str, default_region: str | None, org_domain
                         if not cand.lower().endswith((".js", ".mjs")):
                             continue
                         keep_js.add(cand)
-                    links = sorted(keep) + sorted(keep_js)
+                    links = [
+                        {
+                            "url": u,
+                            "host": (urlparse(u).hostname or "").lower(),
+                            "skey": urlnorm.struct_key_str(u),
+                        }
+                        for u in sorted(keep) + sorted(keep_js)
+                    ]
 
                 kept: list = []
                 ed = pdd = 0

@@ -500,11 +500,18 @@ def run_crawl(
                 F.coalesce(F.sum(F.size("links")), F.lit(0)).alias("nl"),
             ).cache()
             round_caches.append(joined)
+            # links carry (url, host, skey) from the one-pass
+            # extraction (pure functions of the link url, so the
+            # distinct set is unchanged) — the per-round candidate
+            # build below is then pure Catalyst: no url_host /
+            # struct_key Python stages inside any round (r6).
             link_cands = (
                 joined.select(
-                    F.explode("links").alias("url"),
+                    F.explode("links").alias("_l"),
                     (F.col("depth") + 1).alias("depth"),
-                ).distinct()
+                )
+                .select("_l.url", "_l.host", "_l.skey", "depth")
+                .distinct()
             )
             round_contacts = joined.select(
                 "url", "depth", F.explode("contacts").alias("_c")
@@ -516,11 +523,23 @@ def run_crawl(
             )
             drops = extract.PreDrops(drop_obs)
             caches = []
-        pre_candidates = seen.with_struct_key(
-            link_cands.filter(F.col("depth") <= config.max_depth).withColumn(
-                "host", udfs.url_host(F.col("url"))
+        if pre is None:
+            pre_candidates = seen.with_struct_key(
+                link_cands.filter(F.col("depth") <= config.max_depth).withColumn(
+                    "host", udfs.url_host(F.col("url"))
+                )
             )
-        )
+        else:
+            # host/skey were computed per link in the extraction pass;
+            # only the JVM-side key_hash projection remains per round
+            pre_candidates = (
+                link_cands.filter(F.col("depth") <= config.max_depth)
+                .withColumnRenamed("skey", "struct_key")
+                .withColumn("key_hash", F.xxhash64("struct_key"))
+                # same column order as the with_struct_key branch —
+                # filter_new's cogroup schemas are order-sensitive
+                .select("url", "depth", "host", "struct_key", "key_hash")
+            )
 
         def _build_frontier_next(candidate_bound: int | None = None) -> DataFrame:
             """Enqueue-time checks: not seen, not already queued.
@@ -723,9 +742,17 @@ def run_crawl(
     t_tail = _tlog("tail endpoints", t_tail)
     summary = {
         "num_endpoints": n_endpoints,
+        # r6: shrink before the Python stage — substring_index(url,'/',3)
+        # keeps scheme://netloc verbatim (netloc ends at the first '/',
+        # '?' or '#', and neither query nor fragment affects the parsed
+        # hostname), so url_host over the ≤|hosts×schemes| distinct
+        # prefixes equals url_host over every visited URL; the pandas
+        # UDF no longer scans the full url_seen table.
         "num_subdomains": url_seen.select(
-            udfs.url_host(F.col("url")).alias("h")
+            F.substring_index(F.col("url"), "/", 3).alias("u")
         )
+        .distinct()
+        .select(udfs.url_host(F.col("u")).alias("h"))
         .distinct()
         .count(),
         "rounds": rounds_run,

@@ -152,6 +152,8 @@ def test_expected_semantic_facts(spark, pages_df, seeds_df):
     }
     assert "shop.example.com" in hosts
     assert not any(h.endswith("outside.org") for h in hosts)
+    # summary's shrunken distinct-host job equals the full per-URL set
+    assert result.summary["num_subdomains"] == len(hosts)
 
     # struct-key collapse: /contact never visited alongside /contact.html
     urls = {r["url"] for r in result.url_seen.select("url").collect()}
@@ -363,12 +365,13 @@ def test_fused_preextract_equals_chained(spark, pages_df):
     chained pandas-UDF composition it replaced."""
     from breakchecker_spark.operators import extract
 
+    from urllib.parse import urlparse
+
+    from breakchecker_spark.functions import urlnorm
+
     args = (fixture_web.SCOPE, "GR", fixture_web.SCOPE)
     fused = extract.preextract_pages(pages_df, *args)
     chained = extract.preextract_pages_chained(pages_df, *args)
-    assert [(f.name, f.dataType) for f in fused.schema] == [
-        (f.name, f.dataType) for f in chained.schema
-    ]
     ra = sorted(
         (r.asDict(recursive=True) for r in fused.collect()),
         key=lambda r: r["url"],
@@ -377,7 +380,19 @@ def test_fused_preextract_equals_chained(spark, pages_df):
         (r.asDict(recursive=True) for r in chained.collect()),
         key=lambda r: r["url"],
     )
-    assert ra == rb
+    assert len(ra) == len(rb)
+    n_links = 0
+    for x, y in zip(ra, rb):
+        # links carry (url, host, skey); the url sequence must equal
+        # the chained output exactly, and host/skey must equal the
+        # url_host / struct_key_str pure functions of each link url
+        for link in x["links"]:
+            assert link["host"] == (urlparse(link["url"]).hostname or "").lower()
+            assert link["skey"] == urlnorm.struct_key_str(link["url"])
+            n_links += 1
+        x = dict(x, links=[link["url"] for link in x["links"]])
+        assert x == y
+    assert n_links > 0
     # no chained python runners on the hot path: exactly one
     # MapInPandas / python-eval node in the fused plan
     import re
