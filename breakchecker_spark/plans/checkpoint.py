@@ -131,6 +131,17 @@ class CheckpointStore:
         path = self._dir(table, version)
         if os.path.exists(path):
             shutil.rmtree(path)  # orphan from a killed run
+        if partition_by is None:
+            # Size the output files instead of inheriting the plan's
+            # partitioning (guide §6): a per-round delta is often KB
+            # while the producing plan has core-count partitions, and
+            # local scans split per-file (files.minPartitionNum =
+            # parallelism defeats small-file packing) — so every
+            # downstream read of a 32-file KB-sized delta costs 32
+            # task schedules. AQE's rebalance writes one file for
+            # small deltas and ~advisory-size files at scale — the
+            # same adaptive rule both locally and on a cluster.
+            df = df.hint("rebalance")
         writer = df.write.mode("overwrite")
         if partition_by is not None:
             # one shuffle of the (small) delta → one file per partition

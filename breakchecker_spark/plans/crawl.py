@@ -278,7 +278,11 @@ def run_crawl(
                 "url_seen",
                 url_seen,
                 f"{start_round}rb",
-                partition_by="bucket" if want_buckets else None,
+                partition_by=(
+                    "bucket"
+                    if want_buckets and config.prune_seen_buckets
+                    else None
+                ),
             )
             import glob as _glob
 
@@ -311,6 +315,13 @@ def run_crawl(
         all_contacts = empty_contacts
         metrics = empty_metrics
 
+    # url_seen physical layout: bucket DIRECTORIES exist to serve the
+    # opt-in scan pruning (prune_seen_buckets); without it they cost
+    # one file per bucket per round for nothing — the bucket membership
+    # column itself is staged either way (r6, guide §6 file sizing).
+    _seen_layout = (
+        "bucket" if config.seen_buckets and config.prune_seen_buckets else None
+    )
     host_budgets = None
     if robots is not None and config.round_seconds is not None:
         host_budgets = politeness.crawl_delay_budgets(robots, config.round_seconds)
@@ -600,7 +611,7 @@ def run_crawl(
                     spark,
                     "url_seen",
                     round_no,
-                    partition_by="bucket" if config.seen_buckets else None,
+                    partition_by=_seen_layout,
                     min_versions=config.compact_every,
                 )
                 store.compact(
@@ -648,7 +659,7 @@ def run_crawl(
                     "url_seen",
                     new_seen,
                     round_no,
-                    "bucket" if config.seen_buckets else None,
+                    _seen_layout,
                 )
                 if pre is None:
                     f_frontier = pool.submit(

@@ -122,6 +122,16 @@ def generate_pages(
 
     return (
         spark.range(0, n_pages, numPartitions=partitions)
+        # Interleave ids across partitions before rendering: the
+        # heap-numbered tree puts every link-rich interior page
+        # (i < n/BRANCH, 100 links each) inside the FIRST range
+        # partition, so a range layout makes one downstream extraction
+        # task carry the whole canonicalize workload (measured: 4.96 s
+        # straggler vs 0.7 s siblings, guide §2 skew). A real corpus
+        # is not sorted by out-degree; a round-robin deal of the ids
+        # (8-byte rows, pre-render, untimed) restores an even file
+        # layout. Explicit numPartitions keeps AQE from coalescing it.
+        .repartition(partitions)
         .mapInPandas(_gen, schema=schemas.PAGES)
     )
 

@@ -44,6 +44,9 @@ def test_lineage_records_every_commit_per_partition(
             scope_host=fixture_web.SCOPE,
             max_depth=3,
             seen_buckets=4,
+            # bucket DIRECTORIES are staged only when pruning wants
+            # them (r6); this test pins the partitioned-layout lineage
+            prune_seen_buckets=True,
             bloom_parts=4,
             bloom_expected_per_part=1000,
             checkpoint_dir=ckpt,
