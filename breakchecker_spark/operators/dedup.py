@@ -98,10 +98,11 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard-similar pairs.
 
-    Two exact plans behind one size gate: a bounded corpus (both probe
-    thresholds pass) computes every co-occurring pair's overlap with a
-    direct shingle-keyed count-join (see the r6 note in the body); a
-    corpus-scale input takes the prefix-filtered candidate join below.
+    Exact plans behind one size gate: a bounded corpus (both probe
+    thresholds pass) takes the grid self-join (:func:`_jaccard_grid` —
+    no per-pair shuffle), falling back to a shingle-keyed count-join
+    for non-integer id columns; a corpus-scale input takes the
+    prefix-filtered candidate join below.
 
     The naive shingle self-join materializes Σ df(shingle)² rows — a
     shingle shared by 10⁶ docs alone yields ~10¹² join rows, which is
@@ -164,6 +165,14 @@ def jaccard_pairs(
             )
             small_corpus = est_shingles <= broadcast_max_shingles
     if small_corpus:
+        # r6 third pass: the grid plan (see _jaccard_grid) removes
+        # the per-pair shuffle entirely — the count-join below remains
+        # both the fallback (non-integer id columns) and the
+        # independent equality reference (test_dedup_similarity pins
+        # grid ≡ count-join rows).
+        grid = _jaccard_grid(df, id_col, text_col, k, threshold)
+        if grid is not None:
+            return grid
         # r6 optimization (guide §1/§3): the r5 small-corpus plan
         # (prefix candidates → dropDuplicates → broadcast the per-doc
         # shingle arrays → array_intersect per candidate) was measured
@@ -278,6 +287,309 @@ def jaccard_pairs(
         "id_b",
         F.round(
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Exploded (id, n_sh, shingle) rows in ONE Arrow stage.
+
+    Mirrors :func:`shingles` + ``explode`` exactly (r6, guide §4.2 —
+    the expression form is an interpreted ``zip_with`` HOF per token,
+    measured ~7 s of the sf-big count-join): tokenizer parity per
+    :func:`minhash_signature_rows` (U+0020-only strip, lower,
+    ``re.ASCII`` ``\\s+`` split), k-token shingles distinct, docs
+    shorter than k tokens yield the single clipped shingle, null text
+    yields a null shingle array — i.e. no exploded rows."""
+    import pandas as _pd
+
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("id", id_field.dataType, id_field.nullable),
+            T.StructField("n_sh", T.IntegerType(), False),
+            T.StructField("shingle", T.StringType(), False),
+        ]
+    )
+
+    def _batches(batches):
+        import re
+
+        _ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            ids_out, n_out, sh_out = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    continue
+                toks = _ws.split(text.strip(" ").lower())
+                if len(toks) >= k:
+                    sh = {
+                        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+                    }
+                else:
+                    sh = {" ".join(toks)}
+                n = len(sh)
+                for s in sh:
+                    ids_out.append(did)
+                    n_out.append(n)
+                    sh_out.append(s)
+            yield _pd.DataFrame(
+                {
+                    "id": ids_out,
+                    "n_sh": _pd.Series(n_out, dtype="int32"),
+                    "shingle": sh_out,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_batches, schema)
+
+
+_NP_ID_DTYPES = {
+    T.LongType: np.int64,
+    T.IntegerType: np.int32,
+    T.ShortType: np.int16,
+    T.ByteType: np.int8,
+}
+
+
+def _jaccard_grid(
+    df: DataFrame, id_col: str, text_col: str, k: int, threshold: float
+) -> DataFrame | None:
+    """Small-corpus exact jaccard WITHOUT the per-pair shuffle (r6).
+
+    The count-join's floor is shuffling + hash-aggregating one row per
+    co-occurring doc pair (~87 M rows on the 50k-doc bench corpus —
+    its tiny vocabulary makes nearly every pair co-occur). A gated
+    corpus instead takes a GRID self-join (the classic triangle-count
+    partitioning): docs are hashed into B blocks, each (id, n_sh,
+    shingle-code) row is replicated B times so every unordered block
+    pair (i ≤ j) receives the complete rows of both blocks, and one
+    Arrow task per cell counts ALL pair overlaps between its two
+    blocks from posting lists — vectorized cross-product gather +
+    packed-key run-length, exact integer counts, dense local packing
+    so arbitrary 64-bit ids are safe. A pair's count is complete
+    within its one cell (the cell holds every shingle of both docs),
+    so each task emits only the pairs that survive the same length
+    bound the join condition applies and a conservative
+    ``threshold − 1e-6`` pre-filter: the global pair aggregation
+    disappears (guide §2.1) — replication cost is B× the exploded
+    rows (narrow ints) vs one row per co-occurring pair.
+
+    Fully lazy — nothing runs at query-build time, so the timed
+    action pays every stage. The final select/filter is the IDENTICAL
+    Catalyst expression the other plans use (same rounding).
+    Returns None (caller falls back to the count-join) for
+    non-integer id columns.
+    """
+    import pandas as _pd
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    id_type = type(df.schema[id_col].dataType)
+    np_id = _NP_ID_DTYPES.get(id_type)
+    if np_id is None:
+        return None
+    par = spark.sparkContext.defaultParallelism
+    # B(B+1)/2 cells ≈ 2×cores keeps every core busy without inflating
+    # the B× replication; B is scale-adaptive via the core count
+    b_blocks = max(int((4 * par) ** 0.5), 2)
+
+    rows = _shingle_rows(df, id_col, text_col, k)
+    # dense shingle codes (row_number over the sorted distinct set —
+    # deterministic; the values only serve as compact group keys, and
+    # the distinct count is bounded by the caller's shingle-volume
+    # gate). AQE picks the join strategy (broadcast while small).
+    codes = rows.select("shingle").distinct().select(
+        "shingle",
+        (F.row_number().over(Window.orderBy("shingle")) - 1).alias("scode"),
+    )
+    coded = (
+        rows.join(codes, "shingle")
+        .select(
+            F.col("id").cast("long").alias("id"),
+            "n_sh",
+            F.col("scode").cast("int").alias("scode"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(b_blocks))
+            .cast("int")
+            .alias("b"),
+        )
+    )
+    rep = coded.crossJoin(
+        spark.range(0, b_blocks).select(F.col("id").cast("int").alias("j"))
+    ).select(
+        "id",
+        "n_sh",
+        "scode",
+        "b",
+        F.least("b", "j").alias("ci"),
+        F.greatest("b", "j").alias("cj"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", df.schema[id_col].dataType),
+            T.StructField("id_b", df.schema[id_col].dataType),
+            T.StructField("n_a", T.LongType()),
+            T.StructField("n_b", T.LongType()),
+            T.StructField("n_common", T.LongType()),
+        ]
+    )
+    t = threshold
+    tmin = threshold - 1e-6
+    # occurrence-buffer cap per slice: bounds task memory even when a
+    # hot shingle makes Σ df_i·df_j large (the JVM join would spill
+    # there; this path slices instead)
+    cap = 8 * 1024 * 1024
+
+    def _cell(key, pdf):
+        ci, cj = int(key[0]), int(key[1])
+        # the cell (ci, cj) holds block-ci rows once (j=cj) and
+        # block-cj rows once (j=ci); the diagonal holds each row once
+        if ci == cj:
+            side_i = pdf
+            side_j = pdf
+        else:
+            side_i = pdf[pdf["b"] == ci]
+            side_j = pdf[pdf["b"] == cj]
+        if len(side_i) == 0 or len(side_j) == 0:
+            return _pd.DataFrame(
+                {
+                    "id_a": _pd.Series([], dtype=np_id.__name__),
+                    "id_b": _pd.Series([], dtype=np_id.__name__),
+                    "n_a": _pd.Series([], dtype="int64"),
+                    "n_b": _pd.Series([], dtype="int64"),
+                    "n_common": _pd.Series([], dtype="int64"),
+                }
+            )
+        ids = np.concatenate(
+            (side_i["id"].to_numpy(np.int64), side_j["id"].to_numpy(np.int64))
+        )
+        duniq, dcodes = np.unique(ids, return_inverse=True)
+        nl = len(duniq)
+        n_by_doc = np.zeros(nl, dtype=np.int64)
+        n_by_doc[dcodes] = np.concatenate(
+            (side_i["n_sh"].to_numpy(np.int64), side_j["n_sh"].to_numpy(np.int64))
+        )
+        di = dcodes[: len(side_i)]
+        dj = dcodes[len(side_i) :]
+
+        def postings(scodes, docs):
+            order = np.argsort(scodes, kind="stable")
+            s_sorted = scodes[order]
+            docs_sorted = docs[order]
+            uniq_pos = np.concatenate(
+                ([0], np.flatnonzero(s_sorted[1:] != s_sorted[:-1]) + 1)
+            )
+            return (
+                s_sorted[uniq_pos],  # distinct scodes, ascending
+                np.concatenate((uniq_pos, [len(s_sorted)])),  # ptr
+                docs_sorted,
+            )
+
+        si, ptr_i, docs_i = postings(side_i["scode"].to_numpy(np.int64), di)
+        sj, ptr_j, docs_j = postings(side_j["scode"].to_numpy(np.int64), dj)
+        # shingles present on both sides
+        common, ii, jj = np.intersect1d(si, sj, return_indices=True)
+        p = ptr_i[ii + 1] - ptr_i[ii]
+        q = ptr_j[jj + 1] - ptr_j[jj]
+        vol = p * q
+        outs = []
+        # slice the common-shingle list so each slice's cross-product
+        # volume stays under the cap
+        cuts = [0]
+        acc = 0
+        for idx_s in range(len(common)):
+            acc += int(vol[idx_s])
+            if acc >= cap:
+                cuts.append(idx_s + 1)
+                acc = 0
+        if cuts[-1] != len(common):
+            cuts.append(len(common))
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            if lo == hi:
+                continue
+            ps = p[lo:hi]
+            qs = q[lo:hi]
+            total = int((ps * qs).sum())
+            if total == 0:
+                continue
+            # a-side: each i-doc of shingle s repeated q(s) times
+            starts_i = ptr_i[ii[lo:hi]]
+            cnt_i = int(ps.sum())
+            gather_i = np.repeat(
+                starts_i - np.concatenate(([0], np.cumsum(ps)[:-1])), ps
+            ) + np.arange(cnt_i)
+            occ_a = np.repeat(docs_i[gather_i], np.repeat(qs, ps))
+            # b-side: the j-doc segment of shingle s tiled p(s) times
+            seg_sel = np.repeat(np.arange(lo, hi), ps)
+            lens_b = q[seg_sel]
+            starts_b = ptr_j[jj[seg_sel]]
+            gather_b = np.repeat(
+                starts_b - np.concatenate(([0], np.cumsum(lens_b)[:-1])), lens_b
+            ) + np.arange(int(lens_b.sum()))
+            occ_b = docs_j[gather_b]
+            pack = occ_a * nl + occ_b
+            pack.sort(kind="stable")
+            change = np.concatenate(
+                ([0], np.flatnonzero(pack[1:] != pack[:-1]) + 1)
+            )
+            counts = np.diff(np.concatenate((change, [len(pack)])))
+            vals = pack[change]
+            a_code = vals // nl
+            b_code = vals % nl
+            ida = duniq[a_code]
+            idb = duniq[b_code]
+            if ci == cj:
+                # self-cross emits both directions; keep one
+                keep0 = ida < idb
+                ida, idb, counts = ida[keep0], idb[keep0], counts[keep0]
+            else:
+                swap = ida > idb
+                ida2 = np.where(swap, idb, ida)
+                idb = np.where(swap, ida, idb)
+                ida = ida2
+                same = ida == idb  # impossible across disjoint blocks
+                if same.any():
+                    keep0 = ~same
+                    ida, idb, counts = ida[keep0], idb[keep0], counts[keep0]
+            na = n_by_doc[np.searchsorted(duniq, ida)]
+            nb = n_by_doc[np.searchsorted(duniq, idb)]
+            keep = (
+                (na * t <= nb)
+                & (nb * t <= na)
+                & (counts / (na + nb - counts) >= tmin)
+            )
+            if keep.any():
+                outs.append(
+                    _pd.DataFrame(
+                        {
+                            "id_a": ida[keep].astype(np_id),
+                            "id_b": idb[keep].astype(np_id),
+                            "n_a": na[keep],
+                            "n_b": nb[keep],
+                            "n_common": counts[keep].astype(np.int64),
+                        }
+                    )
+                )
+        if outs:
+            return _pd.concat(outs, ignore_index=True)
+        return _pd.DataFrame(
+            {
+                "id_a": _pd.Series([], dtype=np_id.__name__),
+                "id_b": _pd.Series([], dtype=np_id.__name__),
+                "n_a": _pd.Series([], dtype="int64"),
+                "n_b": _pd.Series([], dtype="int64"),
+                "n_common": _pd.Series([], dtype="int64"),
+            }
+        )
+
+    raw = rep.groupBy("ci", "cj").applyInPandas(_cell, out_schema)
+    return raw.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            6,
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
 

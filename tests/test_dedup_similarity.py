@@ -261,3 +261,61 @@ def test_ivf_trained_centroids_recall_not_worse(spark):
     emb.unpersist()
     assert r_trained >= r_md5
     assert r_trained > 0
+
+
+def test_jaccard_grid_equals_count_join(spark):
+    """r6: the gated small-corpus grid plan must produce exactly the
+    count-join's rows (ids, rounded jaccard) on corpora that exercise
+    clipped shingles, nulls, duplicates and extreme id values."""
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),
+        (3, "a b c d e g"),
+        (4, "x"),
+        (5, "x"),
+        (6, ""),
+        (7, None),
+        (8, "   "),
+        (9, "a b"),
+        (10, "a b c"),
+        (-(2**62), "p q r s t u"),
+        (2**62, "p q r s t u"),
+        (0, "p q r s t v"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    grid = dedup._jaccard_grid(docs, "doc_id", "text", 3, 0.5)
+    assert grid is not None
+    sh = docs.select(
+        F.col("doc_id").alias("id"), dedup.shingles(F.col("text"), 3).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    aa = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    bb = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
+    t = F.lit(0.5)
+    counted = (
+        aa.join(
+            bb,
+            (aa["shingle"] == bb["shingle"])
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_a") * t <= F.col("n_b"))
+            & (F.col("n_b") * t <= F.col("n_a")),
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ref = counted.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.5)
+    a = sorted(map(tuple, grid.collect()))
+    b = sorted(map(tuple, ref.collect()))
+    assert a == b and len(a) >= 3
+    # the public gated path takes the grid plan for integer ids: no
+    # pair-level exchange feeds a hash aggregate in its physical plan
+    public = dedup.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    plan = public._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
