@@ -147,6 +147,7 @@ def jaccard_pairs(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     small_corpus = False
+    n_docs = None
     if broadcast_max_docs is not None:
         # Two-step probe (ADVICE r4: doc count alone doesn't bound the
         # broadcast BYTES — 200k large docs can make the dfreq table
@@ -154,7 +155,8 @@ def jaccard_pairs(
         # doc count qualifies, a second aggregate bounds total shingle
         # volume by the whitespace-token count (n_sh ≤ tokens). The
         # token scan runs only on corpora already known to be small.
-        if df.count() <= broadcast_max_docs:
+        n_docs = df.count()
+        if n_docs <= broadcast_max_docs:
             est_shingles = (
                 df.agg(
                     F.sum(
@@ -166,13 +168,20 @@ def jaccard_pairs(
             small_corpus = est_shingles <= broadcast_max_shingles
     if small_corpus:
         # r6 third pass: the grid plan (see _jaccard_grid) removes
-        # the per-pair shuffle entirely — the count-join below remains
-        # both the fallback (non-integer id columns) and the
-        # independent equality reference (test_dedup_similarity pins
-        # grid ≡ count-join rows).
-        grid = _jaccard_grid(df, id_col, text_col, k, threshold)
-        if grid is not None:
-            return grid
+        # the per-pair shuffle entirely, but carries ~10 fixed stages
+        # (code join, B× replicate, per-cell Arrow tasks) — measured
+        # interleaved: 2.4× FASTER at 50k docs (10.5 vs 25.4 s, where
+        # the pair shuffle is ~87 M rows) and ~2.5× SLOWER at 5k docs
+        # (4.3-6.1 vs 1.7-2.2 s, where the pair shuffle is small), so
+        # it engages only above the measured crossover band. The
+        # count-join below remains the small end of the gate, the
+        # fallback for non-integer id columns, and the independent
+        # equality reference (test_dedup_similarity pins grid ≡
+        # count-join rows).
+        if n_docs is not None and n_docs >= 20_000:
+            grid = _jaccard_grid(df, id_col, text_col, k, threshold)
+            if grid is not None:
+                return grid
         # r6 optimization (guide §1/§3): the r5 small-corpus plan
         # (prefix candidates → dropDuplicates → broadcast the per-doc
         # shingle arrays → array_intersect per candidate) was measured
