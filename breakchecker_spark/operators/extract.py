@@ -110,19 +110,85 @@ def process_pages(
 ) -> Tuple[DataFrame, DataFrame, DataFrame, list]:
     """(link_candidates, contacts, drop_metrics, caches) from fetched rows.
 
-    ``fetched``: (url, depth, html[, text]) — the frontier joined
-    against the pages table. Returns:
+    ``fetched``: (url, depth, html, text) — the frontier joined
+    against the pages table (or live-fetched). Returns:
 
-    * link_candidates: (url, depth) at depth+1, canonical + deduped
-      per page, ready for the seen filter;
+    * link_candidates: (url, host, skey, depth) at depth+1, canonical
+      + deduped per page, host/struct-key precomputed (pure functions
+      of the link url), ready for the seen filter;
     * contacts: (kind, identifier, source_url, depth) normalized, org-
       scoped (emails) / region-validated (phones);
-    * drops: a :class:`DropCounters` — exact kept/dropped counts
-      (reference counters bc:1238-1241), observed inside the action
-      that materializes contacts (no separate aggregation job; call
-      ``drops.get()`` only after that action);
+    * drops: exact kept/dropped counts (reference counters
+      bc:1238-1241), observed inside the action that materializes
+      contacts (no separate aggregation job; call ``drops.get()`` only
+      after that action);
     * caches: cached intermediate DataFrames — caller unpersists them
       once the round's outputs are materialized.
+
+    r6: one fused mapInPandas stage per round (the same
+    :func:`_fused_preextract_fn` the pre-extract pass uses, with depth
+    riding through), replacing the chained pandas-UDF pipeline — the
+    classic/live rounds carry a single Python stage and the downstream
+    candidate build is pure Catalyst. The chained form stays as
+    :func:`process_pages_chained` for the equality test.
+    """
+    base = (
+        fetched.select("url", "depth", "html", "text")
+        .filter(F.col("html").isNotNull() | F.col("text").isNotNull())
+        .select(
+            "url",
+            "depth",
+            F.when(F.col("html").isNotNull(), F.decode(F.col("html"), "UTF-8"))
+            .otherwise(F.col("text"))
+            .alias("_raw"),
+            "text",
+        )
+    )
+    depth_field = fetched.schema["depth"]
+    enr = base.mapInPandas(
+        _fused_preextract_fn(
+            scope_host, default_region, org_domain, passthrough=("depth",)
+        ),
+        schema=_pre_schema(
+            (T.StructField("depth", depth_field.dataType, depth_field.nullable),)
+        ),
+    ).cache()
+    drop_obs = Observation()
+    observed = enr.observe(
+        drop_obs,
+        F.coalesce(F.sum("emails_dropped"), F.lit(0)).alias("ed"),
+        F.coalesce(F.sum("phones_dropped"), F.lit(0)).alias("pd"),
+    )
+    link_candidates = (
+        observed.select(
+            F.explode("links").alias("_l"),
+            (F.col("depth") + 1).alias("depth"),
+        )
+        .select("_l.url", "_l.host", "_l.skey", "depth")
+        .distinct()
+    )
+    contacts = observed.select(
+        "url", "depth", F.explode("contacts").alias("_c")
+    ).select(
+        F.col("_c.kind").alias("kind"),
+        F.col("_c.identifier").alias("identifier"),
+        F.col("url").alias("source_url"),
+        "depth",
+    )
+    return link_candidates, contacts, PreDrops(drop_obs), [enr]
+
+
+def process_pages_chained(
+    fetched: DataFrame,
+    scope_host: str,
+    default_region: str | None,
+    org_domain: str,
+) -> Tuple[DataFrame, DataFrame, DataFrame, list]:
+    """The pre-r6 chained-UDF form of :func:`process_pages`
+    (page_features → canonical_links ×2 → exploded normalize chains
+    with CollectMetrics counters). Kept as the reference
+    implementation for the fused≡chained classic-round equality test —
+    not on any hot path. Its link_candidates carry (url, depth) only.
     """
     enriched = _enrich(fetched, ["url", "depth"]).cache()
 
@@ -290,7 +356,12 @@ _PRE_SCHEMA = T.StructType(
 )
 
 
-def _fused_preextract_fn(scope_host: str, default_region: str | None, org_domain: str):
+def _fused_preextract_fn(
+    scope_host: str,
+    default_region: str | None,
+    org_domain: str,
+    passthrough: tuple = (),
+):
     """Whole-page extraction (harvest + sweeps + canonical links +
     contact normalization) as ONE mapInPandas stage.
 
@@ -403,17 +474,25 @@ def _fused_preextract_fn(scope_host: str, default_region: str | None, org_domain
                 contacts_out.append(kept)
                 ed_out.append(ed)
                 pd_out.append(pdd)
-            yield pd.DataFrame(
-                {
-                    "url": urls,
-                    "links": links_out,
-                    "contacts": contacts_out,
-                    "emails_dropped": pd.Series(ed_out, dtype="int64"),
-                    "phones_dropped": pd.Series(pd_out, dtype="int64"),
-                }
-            )
+            out = {
+                "url": urls,
+                "links": links_out,
+                "contacts": contacts_out,
+                "emails_dropped": pd.Series(ed_out, dtype="int64"),
+                "phones_dropped": pd.Series(pd_out, dtype="int64"),
+            }
+            # passthrough columns ride along unchanged (one output row
+            # per input row, in input order)
+            for c in passthrough:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
     return run
+
+
+def _pre_schema(extra_fields: tuple = ()) -> T.StructType:
+    """_PRE_SCHEMA plus caller-supplied passthrough fields."""
+    return T.StructType(list(_PRE_SCHEMA.fields) + list(extra_fields))
 
 
 def preextract_pages(

@@ -534,23 +534,18 @@ def run_crawl(
             )
             drops = extract.PreDrops(drop_obs)
             caches = []
-        if pre is None:
-            pre_candidates = seen.with_struct_key(
-                link_cands.filter(F.col("depth") <= config.max_depth).withColumn(
-                    "host", udfs.url_host(F.col("url"))
-                )
-            )
-        else:
-            # host/skey were computed per link in the extraction pass;
-            # only the JVM-side key_hash projection remains per round
-            pre_candidates = (
-                link_cands.filter(F.col("depth") <= config.max_depth)
-                .withColumnRenamed("skey", "struct_key")
-                .withColumn("key_hash", F.xxhash64("struct_key"))
-                # same column order as the with_struct_key branch —
-                # filter_new's cogroup schemas are order-sensitive
-                .select("url", "depth", "host", "struct_key", "key_hash")
-            )
+        # host/skey were computed per link in the extraction stage
+        # (pre-extract pass or the fused per-round classic stage, r6);
+        # only the JVM-side key_hash projection remains per round —
+        # no url_host / struct_key Python stages in either mode
+        pre_candidates = (
+            link_cands.filter(F.col("depth") <= config.max_depth)
+            .withColumnRenamed("skey", "struct_key")
+            .withColumn("key_hash", F.xxhash64("struct_key"))
+            # same column order as seen.with_struct_key produced —
+            # filter_new's cogroup schemas are order-sensitive
+            .select("url", "depth", "host", "struct_key", "key_hash")
+        )
 
         def _build_frontier_next(candidate_bound: int | None = None) -> DataFrame:
             """Enqueue-time checks: not seen, not already queued.

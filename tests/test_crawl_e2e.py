@@ -400,3 +400,40 @@ def test_fused_preextract_equals_chained(spark, pages_df):
     plan = fused._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"MapInPandas", plan)) == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_fused_process_pages_equals_chained(spark, pages_df):
+    """r6: the classic/live per-round extraction is one fused
+    mapInPandas stage; its outputs (link candidate set incl. carried
+    host/skey, contact rows, exact drop counts) must equal the chained
+    pandas-UDF pipeline it replaced."""
+    from urllib.parse import urlparse
+
+    from breakchecker_spark.functions import urlnorm
+    from breakchecker_spark.operators import extract
+
+    fetched = pages_df.select(
+        "url", F.lit(2).alias("depth"), "html", "text"
+    )
+    args = (fixture_web.SCOPE, "GR", fixture_web.SCOPE)
+    links_f, contacts_f, drops_f, caches_f = extract.process_pages(fetched, *args)
+    links_c, contacts_c, drops_c, caches_c = extract.process_pages_chained(
+        fetched, *args
+    )
+    rows_f = links_f.collect()
+    rows_c = links_c.collect()
+    assert {(r["url"], r["depth"]) for r in rows_f} == {
+        (r["url"], r["depth"]) for r in rows_c
+    }
+    for r in rows_f:
+        assert r["host"] == (urlparse(r["url"]).hostname or "").lower()
+        assert r["skey"] == urlnorm.struct_key_str(r["url"])
+    cf = sorted(map(tuple, contacts_f.collect()))
+    cc = sorted(map(tuple, contacts_c.collect()))
+    assert cf == cc and len(cf) > 0
+    assert sorted(drops_f.get()) == sorted(drops_c.get())
+    for df_ in caches_f + caches_c:
+        df_.unpersist()
+    # one Python stage in the fused round plan
+    plan = links_f._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
